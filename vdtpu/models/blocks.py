@@ -1,0 +1,68 @@
+"""UNet data-layer blocks: 2-D ResBlock and 0-D FC blocks.
+
+Numerical/structural parity with `/root/reference/lib/model_zoo/openaimodel.py`
+(ResBlock :162-274, FCBlock :2084-2141, Linear_MultiDim :2275-2293,
+FCBlock_MultiDim :2295-2332). TPU-first choices: NHWC layout for the 2-D
+stream; the 0-D stream keeps its latent as a flat [B, C*S] feature vector
+(channel-major, matching the torch [B,C,S,1] view) so every FC block is one
+MXU matmul. Gradient checkpointing is applied at the UNet level with
+``jax.checkpoint`` policies instead of the reference's per-block autograd
+hack (diffusion_utils.py:84-129).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdtpu.models.layers import Dtype, conv3, dense, group_norm, silu
+
+
+class ResBlock2D(nn.Module):
+    """GN-SiLU-conv3 -> +time-FiLM -> GN-SiLU-zeroconv3, learned skip. NHWC."""
+    channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        h = group_norm("in_layers.0")(x).astype(self.dtype)
+        h = conv3(self.out_channels, "in_layers.2", self.dtype)(silu(h))
+        e = dense(self.out_channels, "emb_layers.1", self.dtype)(silu(emb.astype(self.dtype)))
+        h = h + e[:, None, None, :]
+        h = group_norm("out_layers.0")(h).astype(self.dtype)
+        h = silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(h)
+        if self.out_channels == self.channels:
+            skip = x
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="skip_connection")(x)
+        return skip + h
+
+
+class FCBlock(nn.Module):
+    """The 0-D ResBlock: flat-feature MLP with time-FiLM and GroupNorm(32).
+
+    Operates on [B, F] where F = prod(multidim shape); the torch version's
+    1x1 convs over [B,F,1,1] are Dense layers here (same matrices).
+    """
+    channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = group_norm("in_layers.0")(x).astype(self.dtype)
+        h = dense(self.out_channels, "in_layers.2", self.dtype)(silu(h))
+        e = dense(self.out_channels, "emb_layers.1", self.dtype)(silu(emb.astype(self.dtype)))
+        h = h + e
+        h = group_norm("out_layers.0")(h).astype(self.dtype)
+        h = dense(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(silu(h))
+        if self.out_channels == self.channels:
+            skip = x
+        else:
+            skip = dense(self.out_channels, "skip_connection", self.dtype)(x)
+        return skip + h

@@ -1,0 +1,75 @@
+"""Small shared layers for the model zoo (NHWC, f32 params, dtype-policy compute).
+
+Numerics mirror the reference building blocks
+(`/root/reference/lib/model_zoo/diffusion_utils.py:175-221`,
+`openaimodel.py:89-159`): GroupNorm(32, eps=1e-5) a.k.a. ``normalization``,
+SiLU nonlinearity, 3x3 convs, nearest-neighbour up/stride-2 down sampling.
+Norm statistics are always computed in f32 regardless of the compute dtype.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def group_norm(name: str, groups: int = 32, eps: float = 1e-5) -> nn.GroupNorm:
+    # dtype=f32 keeps reduction + affine in f32; callers cast back.
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32, name=name)
+
+
+def conv3(features: int, name: str, dtype: Dtype, zero_init: bool = False, stride: int = 1) -> nn.Conv:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
+        kernel_init=init, bias_init=nn.initializers.zeros,
+        dtype=dtype, name=name)
+
+
+def dense(features: int, name: str, dtype: Dtype, zero_init: bool = False,
+          use_bias: bool = True) -> nn.Dense:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Dense(features, use_bias=use_bias, kernel_init=init, dtype=dtype, name=name)
+
+
+def silu(x):
+    return nn.silu(x)
+
+
+class TimeEmbedMLP(nn.Module):
+    """Timestep-embedding MLP: Dense -> SiLU -> Dense.
+
+    Torch layout ``time_embed.{0,2}`` (ref openaimodel.py:2629-2633).
+    """
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = dense(self.dim, "0", self.dtype)(t_emb.astype(self.dtype))
+        return dense(self.dim, "2", self.dtype)(silu(h))
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (ref openaimodel.py:89-117), NHWC."""
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return conv3(self.channels, "conv", self.dtype)(x)
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv downsample (ref openaimodel.py:133-159), NHWC."""
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3(self.channels, "op", self.dtype, stride=2)(x)

@@ -1,0 +1,122 @@
+"""Cross-attention transformer ("context layer") primitives.
+
+Capability parity with `/root/reference/lib/model_zoo/attention.py` (GEGLU,
+FeedForward, CrossAttention, BasicTransformerBlock, SpatialTransformer),
+re-designed token-first: ``SpatialTransformer`` here consumes tokens
+[B, N, C] — the UNet reshapes NHWC maps (2-D flow) or [C,S,1] latent views
+(0-D flow) into tokens before calling it, so the same module serves both
+streams and the attention inner loop dispatches to the Pallas flash kernel
+for long sequences (`vdtpu.ops.attention`).
+
+Submodule names are the torch state-dict paths so checkpoint conversion is
+mechanical (see vdtpu/interop/torch_convert.py).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdtpu.models.layers import Dtype, dense, group_norm
+from vdtpu.ops.attention import scaled_dot_product_attention
+
+
+class GEGLU(nn.Module):
+    """x * gelu(gate) with a fused 2x projection (ref attention.py:37-44)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        xg = dense(self.dim_out * 2, "proj", self.dtype)(x)
+        x, gate = jnp.split(xg, 2, axis=-1)
+        return x * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP, names net.0/net.2 (ref attention.py:47-64; glu=True path)."""
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        h = GEGLU(inner, self.dtype, name="net.0")(x)
+        return dense(self.dim, "net.2", self.dtype)(h)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None.
+
+    Ref attention.py:152-193. Scale d_head**-0.5; q/k/v projections have no
+    bias, output projection does.
+    """
+    heads: int
+    dim_head: int
+    query_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        b, n, _ = x.shape
+        m = context.shape[1]
+        q = dense(inner, "to_q", self.dtype, use_bias=False)(x)
+        k = dense(inner, "to_k", self.dtype, use_bias=False)(context)
+        v = dense(inner, "to_v", self.dtype, use_bias=False)(context)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+        out = scaled_dot_product_attention(q, k, v, mask=mask)
+        out = out.reshape(b, n, inner)
+        return dense(self.query_dim, "to_out.0", self.dtype)(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> GEGLU FF, pre-LN residuals.
+
+    Ref attention.py:196-218 (disable_self_attn=False in every VD config).
+    """
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+        attn = lambda name: CrossAttention(
+            self.heads, self.dim_head, self.dim, self.dtype, name=name)
+        x = attn("attn1")(ln("norm1")(x).astype(self.dtype)) + x
+        x = attn("attn2")(ln("norm2")(x).astype(self.dtype), context=context) + x
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            ln("norm3")(x).astype(self.dtype)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> proj_in -> N transformer blocks -> zero proj_out, residual.
+
+    Token-first version of ref attention.py:221-266; proj_in/proj_out are the
+    reference's 1x1 convs expressed as Dense over the channel axis (identical
+    math, converter squeezes the torch [O,I,1,1] kernels).
+    """
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, context=None):
+        inner = self.heads * self.dim_head
+        x_in = tokens
+        x = group_norm("norm", eps=1e-6)(tokens).astype(self.dtype)
+        x = dense(inner, "proj_in", self.dtype)(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.dtype,
+                name=f"transformer_blocks.{d}")(x, context=context)
+        x = dense(self.channels, "proj_out", self.dtype, zero_init=True)(x)
+        return x + x_in

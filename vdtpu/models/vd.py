@@ -1,0 +1,202 @@
+"""Versatile-Diffusion orchestrator: multi-flow diffuser + system wrapper.
+
+Capability parity with `VD_v2_0` (`/root/reference/lib/model_zoo/vd.py:41-455`):
+dicts of VAEs / context encoders / diffusers, schedule registration, per-flow
+``apply_model`` threading latents through data blocks of one diffuser and
+context blocks of another, multi-context ratio mixing, training losses.
+
+TPU-first re-design:
+- The runtime interpreter over ModuleLists becomes a static program walk
+  inside one linen module (`MultiDiffuser`); each (x_type, c_type) flow is a
+  separately traced/jitted pure function.
+- VAEs and context encoders are separate top-level modules with their own
+  param trees (they are frozen at diffusion-training time and live in
+  different precision policies); `VDSystem` wires everything together.
+- Randomness (q_sample noise, timestep draws) comes in via explicit PRNG keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vdtpu.config.registry import build, register
+from vdtpu.models.layers import Dtype
+from vdtpu.models.unet import UNetBase
+from vdtpu.ops.schedules import DiffusionSchedule, extract
+
+
+class MultiDiffuser(nn.Module):
+    """Holds the named diffusers; methods implement the flow walks.
+
+    Param tree: {"<name>": <unet params>} — torch prefix ``diffuser.<name>.``.
+    """
+    diffuser_cfgs: Sequence[tuple[str, Mapping[str, Any]]]  # ((name, cfg), ...)
+    global_layer_ptr: str | None = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        unets = {}
+        for name, cfg in self.diffuser_cfgs:
+            unets[name] = build(cfg, dtype=self.dtype, name=name)
+        self.unets = unets
+        orders = [u.program.layer_order for u in unets.values()]
+        if any(o != orders[0] for o in orders[1:]):
+            raise ValueError("diffuser layer programs are not aligned "
+                             "(check_diffuser contract, vd.py:313-320)")
+
+    def _emb(self, timesteps, x_dtype, x_type: str):
+        ptr = self.global_layer_ptr or x_type
+        return self.unets[ptr].time_embedding(timesteps, x_dtype)
+
+    def apply_flow(self, x, timesteps, context, x_type: str, c_type: str):
+        """vd.py:330-381 — data blocks from x_type, context blocks from c_type."""
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+        return host.walk(x, emb, context, host, self.unets[c_type])
+
+    def apply_flow_multicontext(
+            self, x, timesteps, contexts, ratios, x_type: str,
+            c_types: Sequence[str]):
+        """vd.py:404-455 with 'attention' mixing: at every context slot run
+        each context's block stack and ratio-blend the outputs.
+
+        contexts: list of [B, M_i, D] arrays; ratios: [num_ctx] (normalized
+        here); c_types: the diffuser whose context blocks serve each context.
+        """
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+        r = jnp.asarray(ratios, dtype=jnp.float32)
+        r = r / jnp.sum(r)
+
+        hs, di, ci = [], 0, 0
+        h = x
+        for token in host.program.layer_order:
+            if token == "d":
+                h = host.run_data(di, h, emb)
+                di += 1
+            elif token == "c":
+                mixed = None
+                for idx, (ctx, ct) in enumerate(zip(contexts, c_types)):
+                    hi = self.unets[ct].run_context(ci, h, ctx) * r[idx].astype(h.dtype)
+                    mixed = hi if mixed is None else mixed + hi
+                h = mixed
+                ci += 1
+            elif token == "save":
+                hs.append(h)
+            elif token == "load":
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+        return h
+
+    def __call__(self, inputs: Mapping[str, Any], timesteps):
+        """Init-only path: walks every diffuser standalone so all params
+        (data + context + global) of every flow get created."""
+        outs = {}
+        for name, unet in self.unets.items():
+            x = inputs[name]["x"]
+            ctx = inputs[name]["context"]
+            emb = self._emb(timesteps, x.dtype, name)
+            outs[name] = unet.walk(x, emb, ctx, unet, unet)
+        return outs
+
+
+@dataclasses.dataclass
+class VDModel:
+    """The four-flow model: diffusers + schedule + latent scaling + losses.
+
+    This is the TPU-native equivalent of the reference's top-level module;
+    VAEs/context encoders are attached by `VDSystem` (vdtpu/serving/api.py).
+    """
+    diffuser: MultiDiffuser
+    schedule: DiffusionSchedule
+    latent_scale_factor: Mapping[str, float]
+    parameterization: str = "eps"
+    loss_type: str = "l2"
+    l_simple_weight: float = 1.0
+    use_ema: bool = False
+
+    # ---- construction ----
+
+    @classmethod
+    def from_config(cls, cfg: Mapping[str, Any], dtype=jnp.float32) -> "VDModel":
+        args = cfg["args"]
+        diffuser = MultiDiffuser(
+            diffuser_cfgs=tuple((n, c) for n, c in args["diffuser_cfg_list"]),
+            global_layer_ptr=args.get("global_layer_ptr"),
+            dtype=dtype)
+        schedule = DiffusionSchedule.create(
+            timesteps=args.get("timesteps", 1000),
+            beta_schedule=args.get("beta_schedule", "linear"),
+            linear_start=args.get("beta_linear_start", 1e-4),
+            linear_end=args.get("beta_linear_end", 2e-2),
+            parameterization=args.get("parameterization", "eps"))
+        return cls(
+            diffuser=diffuser,
+            schedule=schedule,
+            latent_scale_factor=args.get("latent_scale_factor") or {},
+            parameterization=args.get("parameterization", "eps"),
+            use_ema=args.get("use_ema", False))
+
+    def init_params(self, rng, shapes: Mapping[str, tuple] | None = None):
+        """Initialize every diffuser's full param tree on tiny dummy shapes."""
+        shapes = shapes or {"image": (1, 8, 8, 4), "text": (1, 768)}
+        inputs = {}
+        for name, _cfg in self.diffuser.diffuser_cfgs:
+            x = jnp.zeros(shapes[name], jnp.float32)
+            ctx = jnp.zeros((1, 4, 768), jnp.float32)
+            inputs[name] = {"x": x, "context": ctx}
+        t = jnp.zeros((1,), jnp.int32)
+        return self.diffuser.init(rng, inputs, t)["params"]
+
+    # ---- inference ----
+
+    def apply_model(self, params, x, timesteps, context, x_type: str, c_type: str):
+        return self.diffuser.apply(
+            {"params": params}, x, timesteps, context, x_type, c_type,
+            method=MultiDiffuser.apply_flow)
+
+    def apply_model_multicontext(self, params, x, timesteps, contexts, ratios,
+                                 x_type: str, c_types: Sequence[str]):
+        return self.diffuser.apply(
+            {"params": params}, x, timesteps, contexts, ratios, x_type, c_types,
+            method=MultiDiffuser.apply_flow_multicontext)
+
+    def scale_latent(self, z, which: str):
+        s = self.latent_scale_factor.get(which)
+        return z if s is None else z * s
+
+    def unscale_latent(self, z, which: str):
+        s = self.latent_scale_factor.get(which)
+        return z if s is None else z / s
+
+    # ---- training ----
+
+    def q_sample(self, x_start, t, noise):
+        return self.schedule.q_sample(x_start, t, noise)
+
+    def get_loss(self, pred, target):
+        if self.loss_type == "l1":
+            return jnp.abs(target - pred)
+        if self.loss_type == "l2":
+            return (target - pred) ** 2
+        raise NotImplementedError(self.loss_type)
+
+    def p_losses(self, params, x, t, context, x_type: str, c_type: str, noise):
+        """eps/x0-parameterized diffusion loss (ref vd.py:246-280)."""
+        x_noisy = self.q_sample(x, t, noise)
+        model_out = self.apply_model(params, x_noisy, t, context, x_type, c_type)
+        target = x if self.parameterization == "x0" else noise
+        bsz = model_out.shape[0]
+        per_ex = self.get_loss(model_out, target).reshape(bsz, -1).mean(-1)
+        loss_simple = per_ex.mean()
+        lvlb = (extract(self.schedule.lvlb_weights, t, 1)[:, 0] * per_ex).mean()
+        loss = self.l_simple_weight * loss_simple
+        return loss, {"loss_simple": loss_simple, "loss_vlb": lvlb, "Loss": loss}
+
+
+@register("vd_v2_0")
+def build_vd(**args):
+    return VDModel.from_config({"args": args})

@@ -1,0 +1,78 @@
+"""Attention ops: one entry point, two backends.
+
+``scaled_dot_product_attention`` is the only attention primitive the model
+zoo uses (standing in for the reference's einsum attention at
+`/root/reference/lib/model_zoo/attention.py:170-193`). Backends:
+
+- ``xla``: plain einsum with f32 softmax accumulation — optimal for the tiny
+  cross-attention shapes (77/257 keys) where a custom kernel can't beat the
+  fused XLA graph.
+- ``flash``: Pallas TPU flash-attention kernel (``vdtpu.ops.pallas.flash``)
+  for the long self-attention sequences (up to 4096 latent tokens).
+
+Selection is automatic by shape/platform and can be forced via
+``set_attention_backend``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_FORCED_BACKEND: str | None = None
+
+
+def set_attention_backend(name: str | None):
+    """Force 'xla' or 'flash' globally (None = auto)."""
+    global _FORCED_BACKEND
+    assert name in (None, "xla", "flash")
+    global _FORCED_BACKEND
+    _FORCED_BACKEND = name
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def _pick_backend(q_len: int, kv_len: int, head_dim: int) -> str:
+    if _FORCED_BACKEND is not None:
+        return _FORCED_BACKEND
+    # Flash pays off when the score matrix is large; the VD cross-attentions
+    # (77/257 keys) are faster as one fused XLA softmax.
+    if _on_tpu() and q_len >= 1024 and kv_len >= 1024:
+        return "flash"
+    return "xla"
+
+
+def _xla_attention(q, k, v, mask, scale):
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def scaled_dot_product_attention(q, k, v, mask=None, scale: float | None = None):
+    """Multi-head attention.
+
+    Args:
+      q: [B, Q, H, D]
+      k, v: [B, K, H, D]
+      mask: optional broadcastable-to [B, H, Q, K] boolean (True = keep).
+      scale: logit scale; defaults to D**-0.5 (ref attention.py:158).
+    Returns: [B, Q, H, D]
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    backend = _pick_backend(q.shape[1], k.shape[1], q.shape[-1])
+    if backend == "flash":
+        from vdtpu.ops.pallas.flash import flash_attention
+        return flash_attention(q, k, v, mask=mask, scale=scale)
+    return _xla_attention(q, k, v, mask, scale)
