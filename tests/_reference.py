@@ -26,7 +26,7 @@ def ref_module(name: str):
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
     tv = _stub("torchvision")
-    tv.models = _stub("torchvision.models")
+    tv.models = _stub("torchvision.models", VGG16_Weights=object, vgg16=object)
     tv.transforms = _stub("torchvision.transforms")
     _stub("easydict", EasyDict=dict)
     _stub("tensorboardX", SummaryWriter=object)

@@ -1,0 +1,39 @@
+"""Flash-attention kernel vs the XLA reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vdtpu.ops.attention import _xla_attention
+from vdtpu.ops.pallas.flash import flash_attention
+
+
+@pytest.mark.parametrize("n,m,d,h", [
+    (256, 256, 40, 2),     # unaligned head dim (320ch / 8 heads)
+    (128, 77, 64, 1),      # cross-attention-like ragged kv
+    (160, 256, 80, 2),     # ragged q
+])
+def test_flash_matches_xla(n, m, d, h):
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, n, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    ref = _xla_attention(q, k, v, None, d ** -0.5)
+    out = flash_attention(q, k, v, block_q=64, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradient_falls_back_to_xla():
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(1, 64, 2, 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 64, 2, 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 64, 2, 32).astype(np.float32))
+
+    f_flash = lambda q, k, v: flash_attention(
+        q, k, v, block_q=32, block_k=64, interpret=True).sum()
+    f_ref = lambda q, k, v: _xla_attention(q, k, v, None, 32 ** -0.5).sum()
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

@@ -262,10 +262,12 @@ class UNetBase(nn.Module):
             return mod(h, emb)
         return mod(h)
 
-    def run_context(self, i: int, h, ctx):
-        mod = self._ctx[i]
-        tokens, restore = self.tokens_of(h)
-        return restore(mod(tokens, ctx))
+    def run_context(self, i: int, h, ctx, tokenizer: "UNetBase | None" = None):
+        """Apply context block i. `tokenizer` is the diffuser that owns the
+        data stream (its shape determines tokenization); in cross-flow use the
+        context-block owner and the data stream differ (vd.py:344-345)."""
+        tokens, restore = (tokenizer or self).tokens_of(h)
+        return restore(self._ctx[i](tokens, ctx))
 
     def __call__(self, x, timesteps, context):
         """Standalone full walk over this diffuser's own blocks.
@@ -289,7 +291,7 @@ class UNetBase(nn.Module):
                 h = data_host.run_data(di, h, emb)
                 di += 1
             elif token == C:
-                h = ctx_host.run_context(ci, h, context)
+                h = ctx_host.run_context(ci, h, context, tokenizer=data_host)
                 ci += 1
             elif token == SAVE:
                 hs.append(h)

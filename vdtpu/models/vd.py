@@ -81,7 +81,7 @@ class MultiDiffuser(nn.Module):
             elif token == "c":
                 mixed = None
                 for idx, (ctx, ct) in enumerate(zip(contexts, c_types)):
-                    hi = self.unets[ct].run_context(ci, h, ctx) * r[idx].astype(h.dtype)
+                    hi = self.unets[ct].run_context(ci, h, ctx, tokenizer=host) * r[idx].astype(h.dtype)
                     mixed = hi if mixed is None else mixed + hi
                 h = mixed
                 ci += 1
@@ -142,12 +142,17 @@ class VDModel:
 
     def init_params(self, rng, shapes: Mapping[str, tuple] | None = None):
         """Initialize every diffuser's full param tree on tiny dummy shapes."""
-        shapes = shapes or {"image": (1, 8, 8, 4), "text": (1, 768)}
         inputs = {}
-        for name, _cfg in self.diffuser.diffuser_cfgs:
-            x = jnp.zeros(shapes[name], jnp.float32)
-            ctx = jnp.zeros((1, 4, 768), jnp.float32)
-            inputs[name] = {"x": x, "context": ctx}
+        for name, cfg in self.diffuser.diffuser_cfgs:
+            args = cfg["args"]
+            if shapes and name in shapes:
+                xshape = shapes[name]
+            elif "in_channels" in args:  # 2-D stream
+                xshape = (1, 8, 8, args["in_channels"])
+            else:  # 0-D stream
+                xshape = (1, args["input_channels"])
+            ctx = jnp.zeros((1, 4, args.get("context_dim", 768)), jnp.float32)
+            inputs[name] = {"x": jnp.zeros(xshape, jnp.float32), "context": ctx}
         t = jnp.zeros((1,), jnp.int32)
         return self.diffuser.init(rng, inputs, t)["params"]
 
@@ -192,7 +197,7 @@ class VDModel:
         bsz = model_out.shape[0]
         per_ex = self.get_loss(model_out, target).reshape(bsz, -1).mean(-1)
         loss_simple = per_ex.mean()
-        lvlb = (extract(self.schedule.lvlb_weights, t, 1)[:, 0] * per_ex).mean()
+        lvlb = (extract(self.schedule.lvlb_weights, t, 1) * per_ex).mean()
         loss = self.l_simple_weight * loss_simple
         return loss, {"loss_simple": loss_simple, "loss_vlb": lvlb, "Loss": loss}
 

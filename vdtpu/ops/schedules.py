@@ -111,9 +111,11 @@ class DiffusionSchedule:
 
         f32 = lambda a: np.asarray(a, dtype=np.float32)
         if parameterization == "eps":
-            lvlb = f32(betas) ** 2 / (
-                2 * f32(posterior_variance) * f32(alphas) * (1 - f32(alphas_cumprod))
-            )
+            # posterior_variance[0] == 0; row 0 is overwritten below
+            with np.errstate(divide="ignore"):
+                lvlb = f32(betas) ** 2 / (
+                    2 * f32(posterior_variance) * f32(alphas) * (1 - f32(alphas_cumprod))
+                )
         elif parameterization == "x0":
             lvlb = 0.5 * np.sqrt(f32(alphas_cumprod)) / (2.0 * 1 - f32(alphas_cumprod))
         else:

@@ -1,0 +1,309 @@
+"""Serving API: the TPU-native equivalent of the reference WebUI backend
+(`vd_inference`, `/root/reference/app.py:244-579`).
+
+`VDSystem` wires config -> modules -> params (random init or converted torch
+checkpoint). `VDInference` exposes the seven flow entry points with the same
+semantics and defaults (DDIM-50, eta 0, CFG 7.5, 512x512, 2 images / 4
+texts): t2i, i2i (fidelity/focus/color-adjust), i2t, t2t, dcg, tcg, mcg
+(masked, weighted, multi-image). Heavy paths are jitted once per
+(flow, shape, steps, scale) signature and cached.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdtpu.config.bank import model_cfg_bank
+from vdtpu.config.registry import build
+from vdtpu.interop.torch_convert import torch_to_flax
+from vdtpu.models.clip import preprocess_images, vision_token_mask
+from vdtpu.models.vd import VDModel
+from vdtpu.sampling.ddim import DDIMSampler
+from vdtpu.serving.postprocess import AdjustRank, color_adjust_simple, remove_duplicate_word
+
+
+class VDSystem:
+    """Builds and owns every module + param tree of a VD config."""
+
+    def __init__(self, cfg_name: str = "vd_four_flow_v1-0", dtype=jnp.float32,
+                 with_text_vae: bool = True):
+        self.cfg = model_cfg_bank()(cfg_name)
+        args = self.cfg["args"]
+        self.dtype = dtype
+        self.model = VDModel.from_config(self.cfg, dtype=dtype)
+        self.sampler = DDIMSampler(self.model)
+
+        self.vae: dict[str, Any] = {}
+        for name, sub in args["vae_cfg_list"]:
+            if name == "text" and not with_text_vae:
+                continue
+            self.vae[name] = build(sub, dtype=dtype)
+        self.ctx: dict[str, Any] = {
+            name: build(sub, dtype=dtype) for name, sub in args["ctx_cfg_list"]}
+
+        self.params: dict[str, Any] = {"diffuser": None, "vae": {}, "ctx": {}}
+
+    # ---- parameter management ----
+
+    def init_random(self, seed: int = 0, image_size: int = 64):
+        key = jax.random.PRNGKey(seed)
+        kd, kv, kc1, kc2, kt = jax.random.split(key, 5)
+        self.params["diffuser"] = self.model.init_params(kd)
+        if "image" in self.vae:
+            x = jnp.zeros((1, image_size, image_size, 3))
+            self.params["vae"]["image"] = self.vae["image"].init(kv, x)["params"]
+        if "text" in self.vae:
+            self.params["vae"]["text"] = self.vae["text"].init_params(kt)
+        if "image" in self.ctx:
+            px = jnp.zeros((1, 224, 224, 3))
+            self.params["ctx"]["image"] = self.ctx["image"].init(kc1, px)["params"]
+        if "text" in self.ctx:
+            ids = jnp.zeros((1, 77), jnp.int32)
+            self.params["ctx"]["text"] = self.ctx["text"].init(kc2, ids)["params"]
+        return self
+
+    def load_torch_checkpoint(self, state_dict: Mapping[str, Any], strict: bool = False):
+        """Load the published flat state_dict tree (`vd-four-flow-v1-0.pth`),
+        key scheme per SURVEY.md section 3.5. Call after init_random (the
+        templates define structure)."""
+        self.params["diffuser"], m0 = torch_to_flax(
+            state_dict, self.params["diffuser"], prefix="diffuser.", strict=strict)
+        missing = list(m0)
+        for name in self.params["vae"]:
+            if name == "text":
+                missing += self.vae[name].load_torch(state_dict, self.params["vae"],
+                                                     prefix=f"vae.{name}.", strict=strict)
+                continue
+            self.params["vae"][name], m = torch_to_flax(
+                state_dict, self.params["vae"][name], prefix=f"vae.{name}.", strict=strict)
+            missing += m
+        for name in self.params["ctx"]:
+            self.params["ctx"][name], m = torch_to_flax(
+                state_dict, self.params["ctx"][name], prefix=f"ctx.{name}.model.", strict=strict)
+            missing += m
+        return missing
+
+    # ---- stage wrappers (jitted) ----
+
+    @functools.cached_property
+    def _ctx_encode_text(self):
+        return jax.jit(lambda p, ids: self.ctx["text"].apply({"params": p}, ids))
+
+    @functools.cached_property
+    def _ctx_encode_image(self):
+        return jax.jit(lambda p, px: self.ctx["image"].apply({"params": p}, px))
+
+    @functools.cached_property
+    def _ctx_encode_image_masked(self):
+        return jax.jit(lambda p, px, tm: self.ctx["image"].apply({"params": p}, px, tm))
+
+    @functools.cached_property
+    def _vae_decode_image(self):
+        from vdtpu.models.autoencoder import AutoencoderKL
+        return jax.jit(lambda p, z: self.vae["image"].apply(
+            {"params": p}, z, method=AutoencoderKL.decode))
+
+    @functools.cached_property
+    def _vae_encode_image(self):
+        from vdtpu.models.autoencoder import AutoencoderKL
+        return jax.jit(lambda p, x: self.vae["image"].apply(
+            {"params": p}, x, method=AutoencoderKL.encode))
+
+    def ctx_encode(self, x, which: str, masks=None):
+        """vd.py:300-305 equivalent."""
+        p = self.params["ctx"][which]
+        if which == "text":
+            return self._ctx_encode_text(p, jnp.asarray(x))
+        px = preprocess_images(x) if x.shape[1:3] != (224, 224) else jnp.asarray(x)
+        if masks is None:
+            return self._ctx_encode_image(p, px)
+        tm = vision_token_mask(jnp.asarray(masks))
+        return self._ctx_encode_image_masked(p, px, tm)
+
+    def vae_encode(self, x, which: str):
+        z = self._vae_encode_image(self.params["vae"]["image"], jnp.asarray(x)) \
+            if which == "image" else self.vae["text"].encode(self.params["vae"]["text"], x)
+        return self.model.scale_latent(z, which)
+
+    def vae_decode(self, z, which: str, **kw):
+        z = self.model.unscale_latent(z, which)
+        if which == "image":
+            return self._vae_decode_image(self.params["vae"]["image"], z)
+        return self.vae["text"].decode(self.params["vae"]["text"], z, **kw)
+
+
+class VDInference:
+    """Flow-level API mirroring `vd_inference` (app.py:244-579)."""
+
+    def __init__(self, system: VDSystem,
+                 text_tokenizer: Callable[[Sequence[str]], np.ndarray] | None = None,
+                 output_dim=(512, 512), ddim_steps=50, ddim_eta=0.0,
+                 n_sample_image=2, n_sample_text=4):
+        self.sys = system
+        self.tokenizer = text_tokenizer
+        self.output_dim = tuple(output_dim)
+        self.ddim_steps = ddim_steps
+        self.ddim_eta = ddim_eta
+        self.n_sample_image = n_sample_image
+        self.n_sample_text = n_sample_text
+        self.scale_textto = 7.5
+        self.scale_imgto = 7.5
+        self.image_latent_dim = 4
+        self.text_latent_dim = 768
+        self.text_temperature = 1.0
+        self.adjust_rank_f = AdjustRank(max_drop_rank=(1, 5), q=20)
+        self.disentanglement_noglobal = True
+        self._compiled: dict = {}
+
+    # ---- helpers ----
+
+    def _encode_text(self, texts: Sequence[str]):
+        if self.tokenizer is None:
+            raise RuntimeError("no CLIP tokenizer configured; pass token ids "
+                               "or construct VDInference with text_tokenizer")
+        ids = np.asarray(self.tokenizer(list(texts)))
+        return self.sys.ctx_encode(ids, "text")
+
+    def _focus_filter(self, ci, fcs_lvl: float):
+        """adjust_rank on local tokens, global CLS preserved (app.py:338-344)."""
+        if self.disentanglement_noglobal:
+            glb, loc = ci[:, 0:1], ci[:, 1:]
+            return jnp.concatenate([glb, self.adjust_rank_f(loc, fcs_lvl)], axis=1)
+        return self.adjust_rank_f(ci, fcs_lvl)
+
+    def _image_shape(self, n):
+        h, w = self.output_dim
+        return (n, h // 8, w // 8, self.image_latent_dim)
+
+    def _sample(self, key, shape, x_info, c_info):
+        return self.sys.sampler.sample(
+            self.sys.params["diffuser"], key, self.ddim_steps, shape,
+            x_info, c_info, eta=self.ddim_eta, dtype=self.sys.dtype)
+
+    def _sample_multi(self, key, shape, x_info, c_info_list):
+        return self.sys.sampler.sample_multicontext(
+            self.sys.params["diffuser"], key, self.ddim_steps, shape,
+            x_info, c_info_list, eta=self.ddim_eta, dtype=self.sys.dtype)
+
+    def _decode_texts(self, x, key) -> list[str]:
+        txts = self.sys.vae_decode(x, "text", temperature=self.text_temperature,
+                                   rng=key)
+        return [remove_duplicate_word(t) for t in txts]
+
+    # ---- flows (app.py:300-579) ----
+
+    def inference_t2i(self, text: str, seed: int):
+        n = self.n_sample_image
+        u = jnp.tile(self._encode_text([""]), (n, 1, 1))
+        c = jnp.tile(self._encode_text([text]), (n, 1, 1))
+        key = jax.random.PRNGKey(seed)
+        x = self._sample(key, self._image_shape(n), {"type": "image"},
+                         {"type": "text", "conditioning": c,
+                          "unconditional_conditioning": u,
+                          "unconditional_guidance_scale": self.scale_textto})
+        return self.sys.vae_decode(x, "image")
+
+    def inference_i2i(self, image, fid_lvl: float, fcs_lvl: float,
+                      clr_adj: str | None, seed: int):
+        """image: [1,H,W,3] float [0,1] NHWC (app.py:322-382)."""
+        n = self.n_sample_image
+        cx = jnp.asarray(image)
+        if fid_lvl == 1:
+            return jnp.tile(cx, (n, 1, 1, 1))
+        ci = self.sys.ctx_encode(cx, "image")
+        c = jnp.tile(self._focus_filter(ci, fcs_lvl), (n, 1, 1))
+        u = jnp.zeros_like(c)
+        key = jax.random.PRNGKey(seed)
+        x_info = {"type": "image"}
+        if fid_lvl != 0:
+            x0 = jnp.tile(self.sys.vae_encode(cx, "image"), (n, 1, 1, 1))
+            x_info = {"type": "image", "x0": x0,
+                      "x0_forward_timesteps": int(self.ddim_steps * (1 - fid_lvl))}
+        x = self._sample(key, self._image_shape(n), x_info,
+                         {"type": "image", "conditioning": c,
+                          "unconditional_conditioning": u,
+                          "unconditional_guidance_scale": self.scale_imgto})
+        out = self.sys.vae_decode(x, "image")
+        if clr_adj == "Simple":
+            out = color_adjust_simple(out, cx)
+        return out
+
+    def inference_i2t(self, image, seed: int):
+        n = self.n_sample_text
+        cx = jnp.asarray(image)
+        c = jnp.tile(self.sys.ctx_encode(cx, "image"), (n, 1, 1))
+        u = jnp.tile(self.sys.ctx_encode(jnp.zeros_like(cx), "image"), (n, 1, 1))
+        key = jax.random.PRNGKey(seed)
+        x = self._sample(key, (n, self.text_latent_dim), {"type": "text"},
+                         {"type": "image", "conditioning": c,
+                          "unconditional_conditioning": u,
+                          "unconditional_guidance_scale": self.scale_imgto})
+        return self._decode_texts(x, jax.random.fold_in(key, 1))
+
+    def inference_t2t(self, text: str, seed: int):
+        n = self.n_sample_text
+        u = jnp.tile(self._encode_text([""]), (n, 1, 1))
+        c = jnp.tile(self._encode_text([text]), (n, 1, 1))
+        key = jax.random.PRNGKey(seed)
+        x = self._sample(key, (n, self.text_latent_dim), {"type": "text"},
+                         {"type": "text", "conditioning": c,
+                          "unconditional_conditioning": u,
+                          "unconditional_guidance_scale": self.scale_textto})
+        return self._decode_texts(x, jax.random.fold_in(key, 1))
+
+    def inference_dcg(self, image, fcs_lvl: float, text: str,
+                      textstrength: float, seed: int):
+        """Dual-context (app.py:436-492)."""
+        return self.inference_mcg(
+            [{"image": image, "strength": 1.0, "fcs_lvl": fcs_lvl}],
+            text=text, textstrength=textstrength, seed=seed)[1]
+
+    def inference_tcg(self, image_ctxs, text, textstrength, seed):
+        """Triple-context = mcg limited to two images (app.py:494-498)."""
+        return self.inference_mcg(image_ctxs[:2], text, textstrength, seed)
+
+    def inference_mcg(self, image_ctxs: Sequence[Mapping[str, Any]],
+                      text: str | None, textstrength: float, seed: int):
+        """Multi-context blend (app.py:500-579). Each image ctx:
+        {image: [1,H,W,3], strength, fcs_lvl, mask: optional [1,H,W,1]}."""
+        n = self.n_sample_image
+        c_info_list = []
+        if text and textstrength != 0:
+            ut = jnp.tile(self._encode_text([""]), (n, 1, 1))
+            ct = jnp.tile(self._encode_text([text]), (n, 1, 1))
+            scale = self.scale_imgto * (1 - textstrength) + self.scale_textto * textstrength
+            c_info_list.append({
+                "type": "text", "conditioning": ct,
+                "unconditional_conditioning": ut,
+                "unconditional_guidance_scale": scale, "ratio": textstrength})
+        else:
+            scale, textstrength = self.scale_imgto, 0.0
+
+        inputs_shown, imc = [], []
+        for ctx in image_ctxs:
+            if ctx is None or ctx.get("image") is None:
+                continue
+            cx = jnp.asarray(ctx["image"])
+            mask = ctx.get("mask")
+            if mask is not None:
+                m = 1.0 - jnp.asarray(mask)
+                inputs_shown.append(cx * m)
+                ci = self.sys.ctx_encode(cx, "image", masks=m)
+            else:
+                inputs_shown.append(cx)
+                ci = self.sys.ctx_encode(cx, "image")
+            ci = jnp.tile(self._focus_filter(ci, ctx.get("fcs_lvl", 0.5)), (n, 1, 1))
+            imc.append(ci * ctx.get("strength", 1.0))
+        cis = jnp.concatenate(imc, axis=1)
+        c_info_list.append({
+            "type": "image", "conditioning": cis,
+            "unconditional_conditioning": jnp.zeros_like(cis),
+            "unconditional_guidance_scale": scale, "ratio": 1 - textstrength})
+
+        key = jax.random.PRNGKey(seed)
+        x = self._sample_multi(key, self._image_shape(n), {"type": "image"}, c_info_list)
+        return inputs_shown, self.sys.vae_decode(x, "image")

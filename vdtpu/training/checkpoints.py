@@ -1,0 +1,37 @@
+"""Checkpoint save/restore via orbax.
+
+Capability parity with the reference checkpoint cadence
+(`/root/reference/lib/utils.py:315-359`: `_init/_best/_last` + `iter_N`
+tags) while fixing its documented gap — the reference persists only net
+weights; here params + optimizer state + EMA + step all round-trip
+(SURVEY.md section 5, checkpoint row). Async-capable through orbax.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, tag: str, state) -> str:
+    """state: vdtpu.training.harness.TrainState (or any pytree-like)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), tag)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "ema": None if state.ema is None else
+            {"shadow": state.ema.shadow, "num_updates": state.ema.num_updates},
+        "step": state.step,
+    }
+    _ckptr().save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, tag: str, template=None) -> dict[str, Any]:
+    path = os.path.join(os.path.abspath(ckpt_dir), tag)
+    return _ckptr().restore(path, item=template)

@@ -1,0 +1,197 @@
+"""Training harness: jitted SPMD train step + step-typed outer loop.
+
+Capability parity with the reference execution layer
+(`/root/reference/lib/utils.py:38-359,409-601`): step-typed loops
+(iter/epoch/sample), gradient accumulation, per-step LR pushed from an
+indexable scheduler, nested eval with best-checkpoint keep, periodic
+checkpointing, and rank-0-style logging — re-designed single-controller:
+
+- one process drives the whole mesh; "per-GPU process + DDP wrap" becomes a
+  jit-compiled step with batch sharded over the ``dp`` axis (gradients
+  all-reduce inside XLA over ICI),
+- the abstract ``self.main`` the reference never shipped is concrete here:
+  the VD eps-loss step (vd.py:241-280 contract),
+- checkpoints persist params + optimizer state + EMA + step via orbax
+  (fixing the reference's optimizer-state gap, SURVEY.md section 5),
+- no shared-memory barriers: host sync is multihost_utils when multi-process.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vdtpu.models.vd import VDModel
+from vdtpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from vdtpu.training.ema import EmaState, ema_init, ema_update
+from vdtpu.utils.logging import MetricAccumulator, print_log
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema: EmaState | None
+    step: int = 0
+
+
+def make_loss_fn(model: VDModel, x_type: str, c_type: str):
+    def loss_fn(params, x, ctx, t, noise):
+        loss, aux = model.p_losses(params, x, t, ctx, x_type, c_type, noise)
+        return loss, aux
+    return loss_fn
+
+
+def make_train_step(
+    model: VDModel,
+    tx: optax.GradientTransformation,
+    x_type: str = "image",
+    c_type: str = "text",
+    ema_decay: float | None = None,
+    grad_accum: int = 1,
+):
+    """One jitted update: draw t + noise, eps-loss, grad, optax update, EMA.
+
+    With grad_accum > 1 the batch is split into microbatches scanned
+    sequentially (ref gradacc_every, utils.py:120-126) — gradients average
+    before the single optimizer update.
+    """
+    loss_fn = make_loss_fn(model, x_type, c_type)
+    nT = model.schedule.num_timesteps
+
+    def microbatch_grads(params, x, ctx, rng):
+        kt, kn = jax.random.split(rng)
+        t = jax.random.randint(kt, (x.shape[0],), 0, nT)
+        noise = jax.random.normal(kn, x.shape, x.dtype)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, ctx, t, noise)
+        return grads, loss, aux
+
+    def step(state_params, opt_state, ema, x, ctx, rng, lr):
+        if grad_accum == 1:
+            grads, loss, aux = microbatch_grads(state_params, x, ctx, rng)
+        else:
+            xs = x.reshape(grad_accum, -1, *x.shape[1:])
+            cs = ctx.reshape(grad_accum, -1, *ctx.shape[1:])
+            rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, inp):
+                xi, ci, ri = inp
+                g, l, a = microbatch_grads(state_params, xi, ci, ri)
+                acc_g, acc_l = carry
+                acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+                return (acc_g, acc_l + l), a
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state_params)
+            (gsum, lsum), auxs = jax.lax.scan(body, (zero, 0.0), (xs, cs, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            loss = lsum / grad_accum
+            aux = jax.tree_util.tree_map(lambda a: a.mean(), auxs)
+        updates, opt_state = tx.update(grads, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        if ema_decay is not None:
+            ema = ema_update(ema, params, ema_decay)
+        return params, opt_state, ema, loss, aux
+
+    return step
+
+
+class Trainer:
+    """The step-typed outer loop (ref train_stage, utils.py:61-307)."""
+
+    def __init__(
+        self,
+        model: VDModel,
+        params,
+        tx: optax.GradientTransformation,
+        set_lr: Callable,
+        scheduler=None,
+        x_type: str = "image",
+        c_type: str = "text",
+        ema_decay: float | None = None,
+        grad_accum: int = 1,
+        mesh=None,
+        log_every: int = 100,
+        ckpt_every: int | None = None,
+        ckpt_dir: str | None = None,
+        eval_fn: Callable | None = None,
+        eval_every: int | None = None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.set_lr = set_lr
+        self.scheduler = scheduler
+        self.grad_accum = grad_accum
+        self.mesh = mesh
+        self.log_every = log_every
+        self.ckpt_every = ckpt_every
+        self.ckpt_dir = ckpt_dir
+        self.eval_fn = eval_fn
+        self.eval_every = eval_every
+        self.best_metric = None
+
+        opt_state = tx.init(params)
+        ema = ema_init(params) if ema_decay is not None else None
+        self.state = TrainState(params, opt_state, ema, 0)
+
+        raw_step = make_train_step(model, tx, x_type, c_type, ema_decay, grad_accum)
+        if mesh is not None:
+            bs = batch_sharding(mesh)
+            rep = replicated(mesh)
+            self._step = jax.jit(
+                raw_step,
+                in_shardings=(rep, rep, rep, bs, bs, rep, rep),
+                out_shardings=(rep, rep, rep, rep, rep))
+        else:
+            self._step = jax.jit(raw_step)
+
+    def run(self, batches: Iterable[Mapping[str, Any]], num_iters: int,
+            rng=None):
+        """batches yield {'x': latents, 'ctx': context}; stops at num_iters
+        (the reference's 'iter'-type stage; 'epoch'/'sample' stages are
+        one-liners over this: len(loader) / samples-per-batch arithmetic,
+        utils.py:68-77)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        logm = MetricAccumulator()
+        t0 = time.time()
+        it = iter(batches)
+        while self.state.step < num_iters:
+            batch = next(it)
+            lr = self.scheduler[self.state.step // self.grad_accum] \
+                if self.scheduler is not None else 1e-4
+            self.state.opt_state = self.set_lr(self.state.opt_state, lr)
+            rng, sub = jax.random.split(rng)
+            params, opt, ema, loss, aux = self._step(
+                self.state.params, self.state.opt_state, self.state.ema,
+                jnp.asarray(batch["x"]), jnp.asarray(batch["ctx"]), sub,
+                jnp.asarray(lr, jnp.float32))
+            self.state = TrainState(params, opt, ema, self.state.step + 1)
+            logm.accumulate({k: float(v) for k, v in aux.items()},
+                            weight=batch["x"].shape[0])
+            if self.state.step % self.log_every == 0:
+                msg = logm.summary()
+                print_log(f"Iter {self.state.step} | LR {lr:.3e} | {msg} "
+                          f"| Time {time.time() - t0:.1f}s")
+                logm.reset()
+            if self.eval_fn is not None and self.eval_every and \
+                    self.state.step % self.eval_every == 0:
+                metric = self.eval_fn(self.state)
+                if self.best_metric is None or metric < self.best_metric:
+                    self.best_metric = metric
+                    self._save("best")
+            if self.ckpt_every and self.state.step % self.ckpt_every == 0:
+                self._save(f"iter_{self.state.step}")
+        self._save("last")
+        return self.state
+
+    def _save(self, tag: str):
+        if not self.ckpt_dir:
+            return
+        from vdtpu.training.checkpoints import save_checkpoint
+        save_checkpoint(self.ckpt_dir, tag, self.state)
