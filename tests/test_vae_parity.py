@@ -10,8 +10,9 @@ from _reference import ref_module  # noqa: E402
 from vdtpu.interop.torch_convert import torch_to_flax  # noqa: E402
 from vdtpu.models.autoencoder import AutoencoderKL  # noqa: E402
 
+# ch must be a multiple of 32 (GroupNorm(32, ch) in both implementations)
 DD = dict(double_z=True, z_channels=3, resolution=32, in_channels=3, out_ch=3,
-          ch=16, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[16], dropout=0.0)
+          ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[16], dropout=0.0)
 
 
 @pytest.fixture(scope="module")

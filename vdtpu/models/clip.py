@@ -137,18 +137,24 @@ class CLIPVisionTower(nn.Module):
         return x
 
 
-@register("clip_text_context_encoder")
 class CLIPTextContextEncoder(nn.Module):
     """VD text context: projected token embeddings / ||projected pooled||.
 
     Pooled = hidden state at the EOT position (argmax of input_ids, the CLIP
-    convention). Ref clip.py:30-62.
+    convention). Ref clip.py:30-62. Defaults are ViT-L/14; the tower is
+    configurable for scaled deployments/tests.
     """
     dtype: Dtype = jnp.float32
+    tower: CLIPTowerConfig = TEXT_L14
+    vocab_size: int = VOCAB_SIZE
+    max_len: int = MAX_TEXT_LEN
+    projection_dim: int = PROJECTION_DIM
 
     def setup(self):
-        self.text_model = CLIPTextTower(dtype=self.dtype, name="text_model")
-        self.text_projection = dense(PROJECTION_DIM, "text_projection",
+        self.text_model = CLIPTextTower(
+            cfg=self.tower, vocab_size=self.vocab_size, max_len=self.max_len,
+            dtype=self.dtype, name="text_model")
+        self.text_projection = dense(self.projection_dim, "text_projection",
                                      self.dtype, use_bias=False)
 
     def __call__(self, input_ids):
@@ -163,19 +169,24 @@ class CLIPTextContextEncoder(nn.Module):
     encode = __call__
 
 
-@register("clip_image_context_encoder")
 class CLIPImageContextEncoder(nn.Module):
     """VD image context: post_layernorm -> visual_projection, / ||CLS||.
 
     Ref clip.py:66-149 including the masked variant.
     """
     dtype: Dtype = jnp.float32
+    tower: CLIPTowerConfig = VISION_L14
+    image_size: int = IMAGE_SIZE
+    patch: int = PATCH
+    projection_dim: int = PROJECTION_DIM
 
     def setup(self):
-        self.vision_model = CLIPVisionTower(dtype=self.dtype, name="vision_model")
+        self.vision_model = CLIPVisionTower(
+            cfg=self.tower, image_size=self.image_size, patch=self.patch,
+            dtype=self.dtype, name="vision_model")
         self.post_layernorm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                            name="vision_model.post_layernorm")
-        self.visual_projection = dense(PROJECTION_DIM, "visual_projection",
+        self.visual_projection = dense(self.projection_dim, "visual_projection",
                                        self.dtype, use_bias=False)
 
     def __call__(self, pixels, token_mask=None):
@@ -218,3 +229,17 @@ def preprocess_images(images: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
     top, left = (nh - size) // 2, (nw - size) // 2
     x = x[:, top:top + size, left:left + size, :]
     return (x - CLIP_PIXEL_MEAN) / CLIP_PIXEL_STD
+
+
+def _tower(cfg) -> CLIPTowerConfig:
+    return cfg if isinstance(cfg, CLIPTowerConfig) else CLIPTowerConfig(**cfg)
+
+
+@register("clip_text_context_encoder")
+def build_clip_text(dtype=jnp.float32, tower=TEXT_L14, **kw):
+    return CLIPTextContextEncoder(dtype=dtype, tower=_tower(tower), **kw)
+
+
+@register("clip_image_context_encoder")
+def build_clip_image(dtype=jnp.float32, tower=VISION_L14, **kw):
+    return CLIPImageContextEncoder(dtype=dtype, tower=_tower(tower), **kw)

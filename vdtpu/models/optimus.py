@@ -307,6 +307,8 @@ class OptimusVAE:
     tokenizer_encoder: Any = None   # BERT wordpiece tokenizer (callable)
     tokenizer_decoder: Any = None   # GPT-2 BPE tokenizer (detokenize)
     latent_size: int = 768
+    bos_id: int = GPT2_BOS
+    eos_id: int = GPT2_EOS
 
     def init_params(self, rng):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0) if rng is None else rng)
@@ -354,7 +356,8 @@ class OptimusVAE:
     def decode_ids(self, params, z, rng, temperature: float = 1.0):
         return self.decoder.apply(
             {"params": params["decoder"]}, jnp.asarray(z), rng,
-            temperature=temperature, method=OptimusGPT2Connector.generate)
+            temperature=temperature, eos_token=self.eos_id,
+            bos_token=self.bos_id, method=OptimusGPT2Connector.generate)
 
     def decode(self, params, z, temperature: float = 1.0, rng=None) -> list[str]:
         rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -363,7 +366,7 @@ class OptimusVAE:
         for row in toks:
             ids = []
             for t in row[1:]:  # skip BOS
-                if t == GPT2_EOS:
+                if t == self.eos_id:
                     break
                 ids.append(int(t))
             if self.tokenizer_decoder is None:
@@ -391,7 +394,10 @@ def build_optimus(encoder=None, decoder=None, tokenizer_encoder=None,
         except (KeyError, FileNotFoundError):
             tok_d = None
     latent = (args or {}).get("latent_size", 768)
-    return OptimusVAE(enc, dec, tok_e, tok_d, latent_size=latent)
+    vocab = (decoder.get("args", decoder).get("config", {}) or {}).get("vocab_size", 50260)
+    bos, eos = (GPT2_BOS, GPT2_EOS) if vocab > GPT2_EOS else (vocab - 2, vocab - 1)
+    return OptimusVAE(enc, dec, tok_e, tok_d, latent_size=latent,
+                      bos_id=bos, eos_id=eos)
 
 
 @register("optimus_bert_tokenizer")

@@ -59,10 +59,11 @@ class VDSystem:
         if "text" in self.vae:
             self.params["vae"]["text"] = self.vae["text"].init_params(kt)
         if "image" in self.ctx:
-            px = jnp.zeros((1, 224, 224, 3))
+            sz = self.ctx["image"].image_size
+            px = jnp.zeros((1, sz, sz, 3))
             self.params["ctx"]["image"] = self.ctx["image"].init(kc1, px)["params"]
         if "text" in self.ctx:
-            ids = jnp.zeros((1, 77), jnp.int32)
+            ids = jnp.zeros((1, self.ctx["text"].max_len), jnp.int32)
             self.params["ctx"]["text"] = self.ctx["text"].init(kc2, ids)["params"]
         return self
 
@@ -118,10 +119,14 @@ class VDSystem:
         p = self.params["ctx"][which]
         if which == "text":
             return self._ctx_encode_text(p, jnp.asarray(x))
-        px = preprocess_images(x) if x.shape[1:3] != (224, 224) else jnp.asarray(x)
+        sz = self.ctx["image"].image_size
+        px = preprocess_images(x, sz) if x.shape[1:3] != (sz, sz) else jnp.asarray(x)
         if masks is None:
             return self._ctx_encode_image(p, px)
-        tm = vision_token_mask(jnp.asarray(masks))
+        m = jnp.asarray(masks, jnp.float32)
+        if m.shape[1:3] != (sz, sz):  # bilinear to encoder res (ref clip.py:109)
+            m = jax.image.resize(m, (m.shape[0], sz, sz, m.shape[3]), "bilinear")
+        tm = vision_token_mask(m, patch=self.ctx["image"].patch)
         return self._ctx_encode_image_masked(p, px, tm)
 
     def vae_encode(self, x, which: str):
@@ -142,7 +147,9 @@ class VDInference:
     def __init__(self, system: VDSystem,
                  text_tokenizer: Callable[[Sequence[str]], np.ndarray] | None = None,
                  output_dim=(512, 512), ddim_steps=50, ddim_eta=0.0,
-                 n_sample_image=2, n_sample_text=4):
+                 n_sample_image=2, n_sample_text=4,
+                 image_latent_dim=4, text_latent_dim=768,
+                 latent_downsample=8):
         self.sys = system
         self.tokenizer = text_tokenizer
         self.output_dim = tuple(output_dim)
@@ -152,8 +159,9 @@ class VDInference:
         self.n_sample_text = n_sample_text
         self.scale_textto = 7.5
         self.scale_imgto = 7.5
-        self.image_latent_dim = 4
-        self.text_latent_dim = 768
+        self.image_latent_dim = image_latent_dim
+        self.text_latent_dim = text_latent_dim
+        self.latent_downsample = latent_downsample
         self.text_temperature = 1.0
         self.adjust_rank_f = AdjustRank(max_drop_rank=(1, 5), q=20)
         self.disentanglement_noglobal = True
@@ -177,7 +185,8 @@ class VDInference:
 
     def _image_shape(self, n):
         h, w = self.output_dim
-        return (n, h // 8, w // 8, self.image_latent_dim)
+        f = self.latent_downsample
+        return (n, h // f, w // f, self.image_latent_dim)
 
     def _sample(self, key, shape, x_info, c_info):
         return self.sys.sampler.sample(

@@ -1,0 +1,117 @@
+"""Headless CLI covering every flow (the reference only ships the WebUI).
+
+Usage:
+  python -m vdtpu.serving.cli t2i --text "a dog" --seed 0 --out out/
+  python -m vdtpu.serving.cli i2i --image in.png --fid 0.5 --fcs 0.5
+  python -m vdtpu.serving.cli i2t --image in.png
+  python -m vdtpu.serving.cli t2t --text "a dog"
+  python -m vdtpu.serving.cli dcg --image in.png --text "snowy" --textstrength 0.5
+  python -m vdtpu.serving.cli mcg --image a.png --image b.png --text "..."
+
+Checkpoints: --ckpt path/to/vd-four-flow-v1-0.pth (torch state_dict,
+converted on load); otherwise random weights (smoke/benchmark mode).
+CLIP vocab: --clip-vocab/--clip-merges point at the tokenizer files.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _load_image(path: str, size: int = 512) -> np.ndarray:
+    from PIL import Image
+    im = Image.open(path).convert("RGB").resize((size, size),
+                                                Image.Resampling.BICUBIC)
+    return np.asarray(im, np.float32)[None] / 255.0
+
+
+def _save_images(batch, out_dir: str, stem: str):
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, b in enumerate(np.asarray(batch)):
+        p = os.path.join(out_dir, f"{stem}_{i}.png")
+        Image.fromarray((b * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+def build_inference(args):
+    import jax.numpy as jnp
+    from vdtpu.serving.api import VDInference, VDSystem
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sysm = VDSystem(args.config, dtype=dtype).init_random(0)
+    if args.ckpt:
+        import torch
+        sd = torch.load(args.ckpt, map_location="cpu")
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        missing = sysm.load_torch_checkpoint(sd)
+        print(f"loaded checkpoint; {len(missing)} unmatched params")
+    tokenizer = None
+    if args.clip_vocab and args.clip_merges:
+        from vdtpu.data.tokenizers import CLIPTokenizer
+        tokenizer = CLIPTokenizer(args.clip_vocab, args.clip_merges)
+    return VDInference(sysm, text_tokenizer=tokenizer,
+                       ddim_steps=args.steps)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vdtpu")
+    p.add_argument("flow", choices=["t2i", "i2i", "i2t", "t2t", "dcg", "tcg", "mcg"])
+    p.add_argument("--text", default=None)
+    p.add_argument("--image", action="append", default=[])
+    p.add_argument("--mask", action="append", default=[])
+    p.add_argument("--strength", type=float, action="append", default=[])
+    p.add_argument("--fid", type=float, default=0.5)
+    p.add_argument("--fcs", type=float, default=0.5)
+    p.add_argument("--clr-adj", action="store_true")
+    p.add_argument("--textstrength", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--out", default="outputs")
+    p.add_argument("--config", default="vd_four_flow_v1-0")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--clip-vocab", default=None)
+    p.add_argument("--clip-merges", default=None)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    vdi = build_inference(args)
+    if args.flow == "t2i":
+        out = vdi.inference_t2i(args.text, args.seed)
+        print(_save_images(out, args.out, "t2i"))
+    elif args.flow == "i2i":
+        im = _load_image(args.image[0])
+        out = vdi.inference_i2i(im, args.fid, args.fcs,
+                                "Simple" if args.clr_adj else None, args.seed)
+        print(_save_images(out, args.out, "i2i"))
+    elif args.flow == "i2t":
+        print("\n".join(vdi.inference_i2t(_load_image(args.image[0]), args.seed)))
+    elif args.flow == "t2t":
+        print("\n".join(vdi.inference_t2t(args.text, args.seed)))
+    elif args.flow in ("dcg", "tcg", "mcg"):
+        ctxs = []
+        for i, pth in enumerate(args.image):
+            ctx = {"image": _load_image(pth),
+                   "strength": args.strength[i] if i < len(args.strength) else 1.0,
+                   "fcs_lvl": args.fcs}
+            if i < len(args.mask) and args.mask[i]:
+                from PIL import Image
+                m = Image.open(args.mask[i]).convert("L").resize((512, 512))
+                ctx["mask"] = np.asarray(m, np.float32)[None, :, :, None] / 255.0
+            ctxs.append(ctx)
+        if args.flow == "dcg":
+            out = vdi.inference_dcg(ctxs[0]["image"], args.fcs, args.text,
+                                    args.textstrength, args.seed)
+        else:
+            fn = vdi.inference_tcg if args.flow == "tcg" else vdi.inference_mcg
+            _, out = fn(ctxs, args.text, args.textstrength, args.seed)
+        print(_save_images(out, args.out, args.flow))
+
+
+if __name__ == "__main__":
+    main()
