@@ -13,7 +13,12 @@ vs_baseline = measured / 0.85.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 A100_REFERENCE_IMGS_PER_SEC = 0.85
 
@@ -31,13 +36,19 @@ def main():
     n_samples, steps = 2, 50
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
     model = VDModel.from_config(cfgm, dtype=dtype)
+    t0 = time.perf_counter()
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    jax.block_until_ready(params)
+    log(f"diffuser init {time.perf_counter() - t0:.1f}s")
 
     vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
     vae = build(vae_cfg, dtype=dtype)
-    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3)))["params"]
+    t0 = time.perf_counter()
+    vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))["params"]
     vparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), vparams)
+    jax.block_until_ready(vparams)
+    log(f"vae init {time.perf_counter() - t0:.1f}s")
 
     tables = DDIMTables.create(model.schedule, steps, eta=0.0)
     cond = jnp.zeros((n_samples, 77, 768), dtype)
@@ -54,8 +65,10 @@ def main():
         return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
 
     key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
     out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
     jax.block_until_ready(out)
+    log(f"t2i compile+first-run {time.perf_counter() - t0:.1f}s")
 
     runs = 3
     t0 = time.perf_counter()
