@@ -25,6 +25,8 @@ A100_REFERENCE_IMGS_PER_SEC = 0.85
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from vdtpu.config.bank import model_cfg_bank
     from vdtpu.models.vd import VDModel
