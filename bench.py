@@ -39,10 +39,17 @@ def main():
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
     model = VDModel.from_config(cfgm, dtype=dtype)
     t0 = time.perf_counter()
-    params = model.init_params(jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    # shapes via eval_shape + on-device fill: timing is weight-value
+    # independent, and this skips the 2-minute full-init compile
+    shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
+                            jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    params = treedef.unflatten([
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+        for i, l in enumerate(leaves)])
     jax.block_until_ready(params)
-    log(f"diffuser init {time.perf_counter() - t0:.1f}s")
+    log(f"diffuser params {time.perf_counter() - t0:.1f}s")
 
     vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
     vae = build(vae_cfg, dtype=dtype)

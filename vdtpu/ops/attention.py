@@ -16,11 +16,12 @@ Selection is automatic by shape/platform and can be forced via
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
-_FORCED_BACKEND: str | None = None
+_FORCED_BACKEND: str | None = os.environ.get("VDTPU_ATTN") or None
 
 
 def set_attention_backend(name: str | None):

@@ -170,7 +170,10 @@ def make_ddim_timesteps(
         steps = (np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2).astype(int)
     else:
         raise NotImplementedError(f"ddim discretization {method!r}")
-    return steps + 1  # +1 so the final alpha scales back to data
+    # +1 so the final alpha scales back to data; clamped because the raw +1
+    # indexes past the schedule when num_ddim doesn't divide num_ddpm (a
+    # latent reference bug its published configs never hit)
+    return np.minimum(steps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

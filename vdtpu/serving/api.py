@@ -149,8 +149,12 @@ class VDInference:
                  output_dim=(512, 512), ddim_steps=50, ddim_eta=0.0,
                  n_sample_image=2, n_sample_text=4,
                  image_latent_dim=4, text_latent_dim=768,
-                 latent_downsample=8):
+                 latent_downsample=8, mesh=None):
         self.sys = system
+        # batch-parallel serving: with a mesh, conditioning tensors are
+        # placed batch-sharded over the dp axis and every downstream op
+        # (the 50-step scan included) partitions across chips via SPMD
+        self.mesh = mesh
         self.tokenizer = text_tokenizer
         self.output_dim = tuple(output_dim)
         self.ddim_steps = ddim_steps
@@ -188,12 +192,25 @@ class VDInference:
         f = self.latent_downsample
         return (n, h // f, w // f, self.image_latent_dim)
 
+    def _shard_batch(self, c_info):
+        if self.mesh is None:
+            return c_info
+        from vdtpu.parallel.mesh import batch_sharding
+        bs = batch_sharding(self.mesh)
+        out = dict(c_info)
+        for k in ("conditioning", "unconditional_conditioning"):
+            if out.get(k) is not None:
+                out[k] = jax.device_put(jnp.asarray(out[k]), bs)
+        return out
+
     def _sample(self, key, shape, x_info, c_info):
+        c_info = self._shard_batch(c_info)
         return self.sys.sampler.sample(
             self.sys.params["diffuser"], key, self.ddim_steps, shape,
             x_info, c_info, eta=self.ddim_eta, dtype=self.sys.dtype)
 
     def _sample_multi(self, key, shape, x_info, c_info_list):
+        c_info_list = [self._shard_batch(ci) for ci in c_info_list]
         return self.sys.sampler.sample_multicontext(
             self.sys.params["diffuser"], key, self.ddim_steps, shape,
             x_info, c_info_list, eta=self.ddim_eta, dtype=self.sys.dtype)
