@@ -73,18 +73,26 @@ def main():
         z = model.unscale_latent(x, "image")
         return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
 
+    import numpy as np
     key = jax.random.PRNGKey(42)
     t0 = time.perf_counter()
     out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0, 0])  # force full sync incl. host transfer
     log(f"t2i compile+first-run {time.perf_counter() - t0:.1f}s")
 
+    # per-run timing with a forced scalar read-back each run: plain
+    # block_until_ready has shown async-artifact early returns on tunneled
+    # backends, so every sample is closed by a real device->host transfer
     runs = 3
-    t0 = time.perf_counter()
+    times = []
     for i in range(runs):
+        t0 = time.perf_counter()
         out = t2i(params, vparams, cond, uncond, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / runs
+        jax.block_until_ready(out)
+        np.asarray(out[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.3f}s")
+    dt = sorted(times)[len(times) // 2]
 
     imgs_per_sec = n_samples / dt
     print(json.dumps({

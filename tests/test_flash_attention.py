@@ -37,3 +37,22 @@ def test_flash_gradient_falls_back_to_xla():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,m,d,h", [(256, 256, 40, 2), (128, 77, 64, 1)])
+def test_flash_backward_kernels_match_xla(n, m, d, h):
+    """The Pallas backward kernels (dq, dk/dv) vs the XLA attention vjp."""
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, n, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    g = jnp.asarray(rs.randn(2, n, h, d).astype(np.float32))
+
+    f_flash = lambda q, k, v: (flash_attention(
+        q, k, v, block_q=64, block_k=128, interpret=True) * g).sum()
+    f_ref = lambda q, k, v: (_xla_attention(q, k, v, None, d ** -0.5) * g).sum()
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)

@@ -40,12 +40,18 @@ def _on_tpu() -> bool:
         return False
 
 
+_FLASH_MIN_KV = int(os.environ.get("VDTPU_FLASH_MIN_KV", "1024"))
+
+
 def _pick_backend(q_len: int, kv_len: int, head_dim: int) -> str:
     if _FORCED_BACKEND is not None:
         return _FORCED_BACKEND
-    # Flash pays off when the score matrix is large; the VD cross-attentions
-    # (77/257 keys) are faster as one fused XLA softmax.
-    if _on_tpu() and q_len >= 1024 and kv_len >= 1024:
+    # Measured on v5e (bf16): flash wins 5-8x on the long self-attentions
+    # (>=1024 tokens). The tiny cross-attentions (77/257 keys) measured
+    # *slower* end-to-end through the flash path (padding overhead dominates)
+    # and bloat compile time, so they stay on the fused XLA softmax; so do
+    # wide-head single-head shapes (VAE mid, D=512, VMEM-bound).
+    if _on_tpu() and q_len >= 256 and kv_len >= _FLASH_MIN_KV and head_dim <= 256:
         return "flash"
     return "xla"
 
