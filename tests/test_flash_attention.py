@@ -24,7 +24,7 @@ def test_flash_matches_xla(n, m, d, h):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
-def test_flash_gradient_falls_back_to_xla():
+def test_flash_gradient_small_blocks():
     rs = np.random.RandomState(1)
     q = jnp.asarray(rs.randn(1, 64, 2, 32).astype(np.float32))
     k = jnp.asarray(rs.randn(1, 64, 2, 32).astype(np.float32))

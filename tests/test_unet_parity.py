@@ -116,3 +116,24 @@ def test_unet0d_parity(ref_om):
     with torch.no_grad():
         ref = walk_reference(tm, torch.tensor(x), torch.tensor(t), torch.tensor(ctx)).numpy()
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_remat_preserves_forward_and_grad(ref_om):
+    """use_checkpoint (nn.remat) must not change forward values or grads."""
+    cfg = dict(SMALL_2D)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 8, 4).astype(np.float32))
+    t = jnp.array([13])
+    ctx = jnp.asarray(np.random.RandomState(6).randn(1, 7, 16).astype(np.float32))
+
+    plain = UNet2DNext(**cfg, use_checkpoint=False)
+    remat = UNet2DNext(**cfg, use_checkpoint=True)
+    params = plain.init(jax.random.PRNGKey(1), x, t, ctx)["params"]
+
+    o1 = plain.apply({"params": params}, x, t, ctx)
+    o2 = remat.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    g1 = jax.grad(lambda p: plain.apply({"params": p}, x, t, ctx).sum())(params)
+    g2 = jax.grad(lambda p: remat.apply({"params": p}, x, t, ctx).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

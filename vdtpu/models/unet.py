@@ -226,12 +226,19 @@ class _Out0D(nn.Module):
 class UNetBase(nn.Module):
     """Shared walk/dispatch machinery; subclasses provide `program`."""
 
+    def _remat(self, cls):
+        """Gradient checkpointing per block (the reference's use_checkpoint,
+        diffusion_utils.py:84-129) as `nn.remat` — forward identical, the
+        backward pass recomputes block activations instead of storing them."""
+        return nn.remat(cls) if self.use_checkpoint else cls
+
     def _make_data_module(self, spec: DataSpec):
         dt = self.dtype
         if spec.kind == "conv_in":
             return conv3(spec.out_ch, spec.name, dt)
         if spec.kind == "res":
-            return ResBlock2D(spec.in_ch, spec.out_ch, dt, name=spec.name)
+            return self._remat(ResBlock2D)(spec.in_ch, spec.out_ch, dt,
+                                           name=spec.name)
         if spec.kind == "down":
             return Downsample2D(spec.out_ch, dt, name=spec.name)
         if spec.kind == "up":
@@ -241,7 +248,8 @@ class UNetBase(nn.Module):
         if spec.kind == "linear_in" or spec.kind == "linear":
             return dense(spec.out_ch, spec.name, dt)
         if spec.kind == "fc":
-            return FCBlock(spec.in_ch, spec.out_ch, dt, name=spec.name)
+            return self._remat(FCBlock)(spec.in_ch, spec.out_ch, dt,
+                                        name=spec.name)
         if spec.kind == "out0d":
             return _Out0D(self.current_out_channels(), self.second_dim[0],
                           spec.out_ch, dt, name=spec.name)
@@ -328,9 +336,10 @@ class UNet2DNext(UNetBase):
         if "data" in self.parts:
             self._data = [self._make_data_module(s) for s in self.program.data]
         if "context" in self.parts:
+            st = self._remat(SpatialTransformer)
             self._ctx = [
-                SpatialTransformer(s.channels, s.heads, s.dim_head,
-                                   dtype=self.dtype, name=s.name)
+                st(s.channels, s.heads, s.dim_head,
+                   dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
     def tokens_of(self, h):
@@ -370,9 +379,10 @@ class UNet0DNext(UNetBase):
         if "data" in self.parts:
             self._data = [self._make_data_module(s) for s in self.program.data]
         if "context" in self.parts:
+            st = self._remat(SpatialTransformer)
             self._ctx = [
-                SpatialTransformer(s.channels, s.heads, s.dim_head,
-                                   dtype=self.dtype, name=s.name)
+                st(s.channels, s.heads, s.dim_head,
+                   dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
     def tokens_of(self, h):
