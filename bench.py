@@ -37,17 +37,22 @@ def main():
     dtype = jnp.bfloat16
     n_samples, steps = 2, 50
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
-    model = VDModel.from_config(cfgm, dtype=dtype)
+    model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
     t0 = time.perf_counter()
-    # shapes via eval_shape + on-device fill: timing is weight-value
-    # independent, and this skips the 2-minute full-init compile
+    # shapes via eval_shape + ONE fused on-device fill (per-leaf dispatch
+    # costs ~80s through the device tunnel); timing is weight-value
+    # independent, so this replaces the 2-minute full-init compile
     shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
                             jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    key = jax.random.PRNGKey(0)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-        for i, l in enumerate(leaves)])
+
+    @jax.jit
+    def make_params(key):
+        return treedef.unflatten([
+            jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+            for i, l in enumerate(leaves)])
+
+    params = make_params(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     log(f"diffuser params {time.perf_counter() - t0:.1f}s")
 

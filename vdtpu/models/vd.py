@@ -37,11 +37,13 @@ class MultiDiffuser(nn.Module):
     diffuser_cfgs: Sequence[tuple[str, Mapping[str, Any]]]  # ((name, cfg), ...)
     global_layer_ptr: str | None = None
     dtype: Dtype = jnp.float32
+    use_checkpoint: bool | None = None  # None = per-config; False for serving
 
     def setup(self):
         unets = {}
         for name, cfg in self.diffuser_cfgs:
-            unets[name] = build(cfg, dtype=self.dtype, name=name)
+            over = {} if self.use_checkpoint is None else                 {"use_checkpoint": self.use_checkpoint}
+            unets[name] = build(cfg, dtype=self.dtype, name=name, **over)
         self.unets = unets
         orders = [u.program.layer_order for u in unets.values()]
         if any(o != orders[0] for o in orders[1:]):
@@ -121,12 +123,16 @@ class VDModel:
     # ---- construction ----
 
     @classmethod
-    def from_config(cls, cfg: Mapping[str, Any], dtype=jnp.float32) -> "VDModel":
+    def from_config(cls, cfg: Mapping[str, Any], dtype=jnp.float32,
+                    use_checkpoint: bool | None = None) -> "VDModel":
+        """use_checkpoint overrides the per-diffuser config flag: pass False
+        for serving (remat barriers cost ~7% forward time), True/None for
+        training (activation rematerialization)."""
         args = cfg["args"]
         diffuser = MultiDiffuser(
             diffuser_cfgs=tuple((n, c) for n, c in args["diffuser_cfg_list"]),
             global_layer_ptr=args.get("global_layer_ptr"),
-            dtype=dtype)
+            dtype=dtype, use_checkpoint=use_checkpoint)
         schedule = DiffusionSchedule.create(
             timesteps=args.get("timesteps", 1000),
             beta_schedule=args.get("beta_schedule", "linear"),

@@ -26,6 +26,28 @@ from vdtpu.sampling.ddim import DDIMSampler
 from vdtpu.serving.postprocess import AdjustRank, color_adjust_simple, remove_duplicate_word
 
 
+def vd_inference(which: str = "v1.0", fp16: bool = False,
+                 checkpoint: str | None = None, **kw) -> "VDInference":
+    """Drop-in for the reference constructor (`app.py:244-298`):
+    `vd_inference(which='v1.0', fp16=True)` -> ready VDInference.
+
+    fp16 maps to bf16 (the TPU half-precision); `checkpoint` loads the
+    published torch state_dict."""
+    import jax.numpy as jnp
+    if which != "v1.0":
+        raise ValueError("Model type not supported")
+    system = VDSystem("vd_four_flow_v1-0",
+                      dtype=jnp.bfloat16 if fp16 else jnp.float32)
+    system.init_random(0)
+    if checkpoint:
+        import torch
+        sd = torch.load(checkpoint, map_location="cpu")
+        system.load_torch_checkpoint(sd.get("state_dict", sd))
+    if fp16:
+        system.cast_params(jnp.bfloat16)
+    return VDInference(system, **kw)
+
+
 class VDSystem:
     """Builds and owns every module + param tree of a VD config."""
 
@@ -34,7 +56,8 @@ class VDSystem:
         self.cfg = model_cfg_bank()(cfg_name)
         args = self.cfg["args"]
         self.dtype = dtype
-        self.model = VDModel.from_config(self.cfg, dtype=dtype)
+        self.model = VDModel.from_config(self.cfg, dtype=dtype,
+                                         use_checkpoint=False)
         self.sampler = DDIMSampler(self.model)
 
         self.vae: dict[str, Any] = {}
@@ -66,6 +89,27 @@ class VDSystem:
             ids = jnp.zeros((1, self.ctx["text"].max_len), jnp.int32)
             self.params["ctx"]["text"] = self.ctx["text"].init(kc2, ids)["params"]
         return self
+
+    def cast_params(self, dtype):
+        """One-time param cast (serving): avoids per-call f32->bf16 weight
+        conversion inside the sampling scan."""
+        self.params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if hasattr(a, "astype") else a, self.params)
+        return self
+
+    # ---- CLIP feature helpers (evaluator plumbing: CLIP-sim / CLIP-FID) ----
+
+    def clip_image_features(self, images) -> jnp.ndarray:
+        """CLS-token projected embedding [B, 768] for metric computation."""
+        z = self.ctx_encode(jnp.asarray(images), "image")
+        return z[:, 0]
+
+    def clip_text_features(self, token_ids) -> jnp.ndarray:
+        """EOT-pooled projected embedding [B, 768]."""
+        ids = jnp.asarray(token_ids)
+        z = self.ctx_encode(ids, "text")
+        eot = jnp.argmax(ids, axis=-1)
+        return jnp.take_along_axis(z, eot[:, None, None], axis=1)[:, 0]
 
     def load_torch_checkpoint(self, state_dict: Mapping[str, Any], strict: bool = False):
         """Load the published flat state_dict tree (`vd-four-flow-v1-0.pth`),
