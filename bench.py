@@ -45,14 +45,12 @@ def main():
     shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
                             jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def make_params(key):
-        return treedef.unflatten([
-            jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-            for i, l in enumerate(leaves)])
-
-    params = make_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(0)
+    # per-leaf dispatch (~80s through the tunnel) beats both the full-init
+    # compile (~2 min) and a single fused fill graph (8 min AOT compile)
+    params = treedef.unflatten([
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+        for i, l in enumerate(leaves)])
     jax.block_until_ready(params)
     log(f"diffuser params {time.perf_counter() - t0:.1f}s")
 
