@@ -42,7 +42,8 @@ class MultiDiffuser(nn.Module):
     def setup(self):
         unets = {}
         for name, cfg in self.diffuser_cfgs:
-            over = {} if self.use_checkpoint is None else                 {"use_checkpoint": self.use_checkpoint}
+            over = ({} if self.use_checkpoint is None
+                    else {"use_checkpoint": self.use_checkpoint})
             unets[name] = build(cfg, dtype=self.dtype, name=name, **over)
         self.unets = unets
         orders = [u.program.layer_order for u in unets.values()]

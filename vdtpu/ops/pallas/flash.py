@@ -38,6 +38,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_k: int):
+    """Online-softmax forward. lse_ref is None on the primal-only variant
+    (inference) — only the VJP needs the logsumexp residuals."""
     q = q_ref[0].astype(jnp.float32)          # [BQ, Dp]
     bq = q.shape[0]
     m_tot = k_ref.shape[1]
@@ -65,12 +67,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
     m_f, l_f, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l_f[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m_f + jnp.log(l_f))[:, None]
+    if lse_ref is not None:
+        lse_ref[0] = (m_f + jnp.log(l_f))[:, None]
 
 
 def _fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
-              interpret: bool):
-    """q: [BH, N, D], k/v: [BH, M, D] -> (out [BH, N, D], lse [BH, N])."""
+              interpret: bool, with_lse: bool = True):
+    """q: [BH, N, D], k/v: [BH, M, D] -> (out [BH, N, D], lse [BH, N]|None)."""
     bh, n, d = q.shape
     m = k.shape[1]
     dp = _round_up(d, LANE)
@@ -80,32 +83,37 @@ def _fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
     kp = jnp.pad(k, ((0, 0), (0, mp - m), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, mp - m), (0, dp - d)))
 
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=m,
-                               block_k=block_k)
-    out, lse = pl.pallas_call(
+    q_spec = pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, mp, dp), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_lse:
+        kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=m,
+                                   block_k=block_k)
+        out_specs = (q_spec, lse_spec)
+        out_shape = (jax.ShapeDtypeStruct((bh, np_, dp), q.dtype),
+                     jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32))
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None, scale=scale,
+                        kv_len=m, block_k=block_k)
+        out_specs = q_spec
+        out_shape = jax.ShapeDtypeStruct((bh, np_, dp), q.dtype)
+
+    res = pl.pallas_call(
         kernel,
         grid=(bh, np_ // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, np_, dp), q.dtype),
-            jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
-        ),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :n, :d], lse[:, :n, 0]
+    if with_lse:
+        out, lse = res
+        return out[:, :n, :d], lse[:, :n, 0]
+    return res[:, :n, :d], None
 
 
 # --------------------------------------------------------------------------
@@ -235,7 +243,8 @@ def _xla_ref(q, k, v, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, scale, block_q, block_k, interpret):
-    out, _ = _fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    out, _ = _fwd_impl(q, k, v, scale, block_q, block_k, interpret,
+                       with_lse=False)
     return out
 
 

@@ -74,6 +74,9 @@ def make_train_step(
         return grads, loss, aux
 
     def step(state_params, opt_state, ema, x, ctx, rng, lr):
+        # `lr` itself is consumed via the injected hyperparams in opt_state
+        # (set_lr); it rides along so the jitted signature is stable
+        del lr
         if grad_accum == 1:
             grads, loss, aux = microbatch_grads(state_params, x, ctx, rng)
         else:
