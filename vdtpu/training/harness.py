@@ -154,12 +154,28 @@ class Trainer:
         else:
             self._step = jax.jit(raw_step)
 
-    def run(self, batches: Iterable[Mapping[str, Any]], num_iters: int,
-            rng=None):
-        """batches yield {'x': latents, 'ctx': context}; stops at num_iters
-        (the reference's 'iter'-type stage; 'epoch'/'sample' stages are
-        one-liners over this: len(loader) / samples-per-batch arithmetic,
-        utils.py:68-77)."""
+    def run(self, batches: Iterable[Mapping[str, Any]], num_iters: int = None,
+            rng=None, unit: str = "iter", num_units: int | None = None,
+            batches_per_epoch: int | None = None, batch_size: int | None = None):
+        """batches yield {'x': latents, 'ctx': context}.
+
+        Step typing mirrors the reference stages (utils.py:68-77):
+        unit='iter'   -> run num_iters (or num_units) optimizer steps,
+        unit='epoch'  -> num_units * batches_per_epoch steps,
+        unit='sample' -> ceil(num_units / batch_size) steps.
+        """
+        if unit == "iter":
+            num_iters = num_iters if num_iters is not None else num_units
+        elif unit == "epoch":
+            if batches_per_epoch is None:
+                raise ValueError("epoch unit needs batches_per_epoch")
+            num_iters = num_units * batches_per_epoch
+        elif unit == "sample":
+            if batch_size is None:
+                raise ValueError("sample unit needs batch_size")
+            num_iters = -(-num_units // batch_size)
+        else:
+            raise ValueError(f"unknown step unit {unit!r}")
         rng = jax.random.PRNGKey(0) if rng is None else rng
         logm = MetricAccumulator()
         t0 = time.time()
