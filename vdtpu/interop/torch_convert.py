@@ -97,8 +97,14 @@ def torch_to_flax(
     return traverse_util.unflatten_dict(out), missing
 
 
-def flax_to_torch(params, prefix: str = "") -> dict[str, np.ndarray]:
-    """Inverse mapping (for exporting checkpoints back to the torch scheme)."""
+def flax_to_torch(params, prefix: str = "",
+                  conv1x1_pred=None) -> dict[str, np.ndarray]:
+    """Inverse mapping (for exporting checkpoints back to the torch scheme).
+
+    conv1x1_pred(torch_key) -> True marks Dense kernels that the torch model
+    stores as [O, I, 1, 1] 1x1 convs (SpatialTransformer proj_in/out, the
+    0-D FC blocks); their 2-D kernels get the trailing spatial dims back.
+    """
     flat = traverse_util.flatten_dict(params)
     sd: dict[str, np.ndarray] = {}
     for path, val in flat.items():
@@ -112,5 +118,20 @@ def flax_to_torch(params, prefix: str = "") -> dict[str, np.ndarray]:
                 v = v.transpose(2, 1, 0)
             elif v.ndim == 2:
                 v = v.T
+                if conv1x1_pred is not None and conv1x1_pred(tkey):
+                    v = v[:, :, None, None]
         sd[tkey] = v
     return sd
+
+
+def vd_conv1x1_pred(torch_key: str) -> bool:
+    """The VD layers whose torch form is a 1x1 Conv2d but whose flax form is
+    Dense: SpatialTransformer proj_in/proj_out (attention.py:237-253) and the
+    0-D diffuser's FC-block convs (openaimodel.py:2100-2118)."""
+    k = torch_key
+    if k.endswith((".proj_in.weight", ".proj_out.weight")) and "context_blocks" in k:
+        return True
+    if "diffuser.text." in k and "data_blocks" in k and k.endswith(
+            ("in_layers.2.weight", "out_layers.3.weight", "skip_connection.weight")):
+        return True
+    return False

@@ -111,6 +111,29 @@ class VDSystem:
         eot = jnp.argmax(ids, axis=-1)
         return jnp.take_along_axis(z, eot[:, None, None], axis=1)[:, 0]
 
+    def export_torch_checkpoint(self) -> dict:
+        """Export every param tree back to the reference's flat state_dict
+        scheme (inverse of load_torch_checkpoint) so checkpoints trained here
+        load into the PyTorch reference."""
+        from vdtpu.interop.torch_convert import flax_to_torch, vd_conv1x1_pred
+        sd: dict = {}
+        sd.update(flax_to_torch(self.params["diffuser"], prefix="diffuser.",
+                                conv1x1_pred=vd_conv1x1_pred))
+        for name, p in self.params["vae"].items():
+            if name == "text":
+                for tower in ("encoder", "decoder"):
+                    part = flax_to_torch(p[tower], prefix=f"vae.text.{tower}.")
+                    conv1d = (".attn.c_attn.weight", ".attn.c_proj.weight",
+                              ".mlp.c_fc.weight", ".mlp.c_proj.weight")
+                    part = {k: (v.T if k.endswith(conv1d) else v)
+                            for k, v in part.items()}
+                    sd.update(part)
+            else:
+                sd.update(flax_to_torch(p, prefix=f"vae.{name}."))
+        for name, p in self.params["ctx"].items():
+            sd.update(flax_to_torch(p, prefix=f"ctx.{name}.model."))
+        return sd
+
     def load_torch_checkpoint(self, state_dict: Mapping[str, Any], strict: bool = False):
         """Load the published flat state_dict tree (`vd-four-flow-v1-0.pth`),
         key scheme per SURVEY.md section 3.5. Call after init_random (the
