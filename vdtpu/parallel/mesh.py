@@ -71,17 +71,10 @@ def _param_spec(path: tuple[str, ...], leaf, tp_size: int) -> P:
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding pytree for a param tree (tp-aware, else replicated)."""
     tp_size = mesh.shape[TP_AXIS]
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def spec_for(path):
-        keys = tuple(getattr(k, "key", str(k)) for k in path)
-        return keys
-
     out = {}
-    for path, leaf in flat:
-        keys = spec_for(path)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
         out[keys] = NamedSharding(mesh, _param_spec(keys, leaf, tp_size))
-    # rebuild tree
     from flax import traverse_util
     return traverse_util.unflatten_dict(out)
 

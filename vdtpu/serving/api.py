@@ -236,7 +236,6 @@ class VDInference:
         self.text_temperature = 1.0
         self.adjust_rank_f = AdjustRank(max_drop_rank=(1, 5), q=20)
         self.disentanglement_noglobal = True
-        self._compiled: dict = {}
 
     # ---- helpers ----
 

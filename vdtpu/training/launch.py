@@ -20,7 +20,7 @@ import numpy as np
 import yaml
 
 
-def build_dataloader(dcfg: dict[str, Any], tokenizer=None):
+def build_dataloader(dcfg: dict[str, Any]):
     from vdtpu.data.webdataset import ImageTextPipeline, ShardIndex
     index = ShardIndex.from_dir(
         dcfg["shards"],
