@@ -187,7 +187,9 @@ class VDSystem:
         if which == "text":
             return self._ctx_encode_text(p, jnp.asarray(x))
         sz = self.ctx["image"].image_size
-        px = preprocess_images(x, sz) if x.shape[1:3] != (sz, sz) else jnp.asarray(x)
+        # always through the processor: resize/crop when needed, CLIP
+        # mean/std normalization unconditionally (ref clip.py:88-94)
+        px = preprocess_images(jnp.asarray(x), sz)
         if masks is None:
             return self._ctx_encode_image(p, px)
         m = jnp.asarray(masks, jnp.float32)
