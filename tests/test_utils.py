@@ -60,3 +60,14 @@ def test_throughput_meter():
     t.update(4)
     r = t.rates()
     assert r["units_per_sec"] > 0 and r["steps_per_sec"] > 0
+
+
+def test_get_unit_registry():
+    from vdtpu.utils.units import get_total_param, get_unit
+    assert get_unit("relu")(jnp.asarray(-1.0)) == 0.0
+    assert abs(float(get_unit("lrelu0.2")(jnp.asarray(-1.0))) + 0.2) < 1e-6
+    assert float(get_unit("sine")(jnp.asarray(0.0))) == 0.0
+    assert get_unit(None)(5) == 5
+    with pytest.raises(KeyError):
+        get_unit("nope")
+    assert get_total_param({"a": jnp.zeros((2, 3)), "b": jnp.zeros(4)}) == 10

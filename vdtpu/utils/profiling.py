@@ -74,3 +74,35 @@ def device_memory_stats() -> dict[str, int]:
             out[str(d)] = {k: v for k, v in stats.items()
                            if "bytes" in k}
     return out
+
+
+def summarize_trace(log_dir: str, top: int = 20) -> dict[str, float]:
+    """Aggregate a captured trace's device ops by class -> ms totals.
+
+    Reads the trace.json.gz written by `trace()`; this is how the UNet step
+    breakdown in PERF.md was produced.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/[a-z]*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    data = json.loads(gzip.open(paths[-1]).read())
+    events = data.get("traceEvents", [])
+    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    tpu_pids = {p for p, n in pid_names.items() if "TPU" in n or "device" in n}
+    dur = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            name = e.get("name", "")
+            if name.startswith("jit_"):
+                continue
+            cls = re.sub(r"[.\d]+$", "", name)
+            dur[cls] += e.get("dur", 0)
+    return {k: v / 1000.0 for k, v in dur.most_common(top)}
