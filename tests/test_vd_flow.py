@@ -184,3 +184,65 @@ def test_ddim_scan_matches_reference_math():
         dir_xt = (np.sqrt(f(1.0) - a_prev) * e).astype(f)
         x = (np.sqrt(a_prev) * pred_x0 + dir_xt).astype(f)
     np.testing.assert_allclose(out, x, atol=2e-3, rtol=1e-3)
+
+
+def test_multicontext_layer_mixing(ref_pair, our_diffuser):
+    """'layer' mixing: one-hot context pick per slot equals calling only the
+    chosen context's block (ref vd.py:397-402)."""
+    om, tm2, tm0 = ref_pair
+    md, params = our_diffuser
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(1, 4, 8, 8).transpose(0, 2, 3, 1).astype(np.float32))
+    ctx_a = jnp.asarray(rs.randn(1, 5, 16).astype(np.float32))
+    ctx_b = jnp.asarray(rs.randn(1, 7, 16).astype(np.float32))
+    t = jnp.array([55])
+    n_slots = sum(1 for tok in tm2.layer_order if tok == "c")
+    choices = jnp.asarray(np.random.RandomState(10).randint(0, 2, n_slots))
+
+    out = md.apply({"params": params}, x, t, [ctx_a, ctx_b], [0.5, 0.5],
+                   "image", ["text", "image"], "layer", choices,
+                   method=MultiDiffuser.apply_flow_multicontext)
+    assert out.shape == x.shape
+
+    # oracle: replay picking exactly the chosen context per slot
+    om2, tm2b, tm0b = ref_pair
+    with torch.no_grad():
+        t_emb = om2.timestep_embedding(torch.tensor(np.asarray(t, np.int64)), 32,
+                                       repeat_only=False)
+        emb = tm2b.time_embed(t_emb)
+        d_iter = iter(tm2b.data_blocks)
+        c_iters = [iter(tm0b.context_blocks), iter(tm2b.context_blocks)]
+        ctxs = [torch.tensor(np.asarray(ctx_a)), torch.tensor(np.asarray(ctx_b))]
+        x_t = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+        hs, h, ci = [], x_t, 0
+        for order in (tm2b.i_order, tm2b.m_order, tm2b.o_order):
+            for lt in order:
+                if lt == "d":
+                    h = next(d_iter)(h, emb, None)
+                elif lt == "c":
+                    mods = [next(cc) for cc in c_iters]
+                    pick = int(choices[ci])
+                    h = mods[pick](h, emb, ctxs[pick])
+                    ci += 1
+                elif lt == "save_hidden_feature":
+                    hs.append(h)
+                elif lt == "load_hidden_feature":
+                    h = torch.cat([h, hs.pop()], dim=1)
+        ref = h.numpy()
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_ddim_intermediates_and_noise_dropout():
+    from vdtpu.ops.schedules import DiffusionSchedule
+    from vdtpu.sampling.ddim import DDIMTables, ddim_scan
+    sched = DiffusionSchedule.create(100, "linear", 0.00085, 0.012)
+    tables = DDIMTables.create(sched, steps=5, eta=1.0)
+    eps = lambda x, t, i: 0.1 * x
+    x0 = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32))
+    x, inter = ddim_scan(eps, x0, jax.random.PRNGKey(0), tables,
+                         noise_dropout=0.3, return_intermediates=True)
+    assert inter["pred_xt"].shape == (5, 2, 4, 4, 3)
+    assert inter["pred_x0"].shape == (5, 2, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(inter["pred_xt"][-1]), np.asarray(x))
+    assert np.isfinite(np.asarray(x)).all()

@@ -63,9 +63,14 @@ class MultiDiffuser(nn.Module):
 
     def apply_flow_multicontext(
             self, x, timesteps, contexts, ratios, x_type: str,
-            c_types: Sequence[str]):
-        """vd.py:404-455 with 'attention' mixing: at every context slot run
-        each context's block stack and ratio-blend the outputs.
+            c_types: Sequence[str], mixing_type: str = "attention",
+            layer_choices=None):
+        """vd.py:404-455. 'attention' mixing: at every context slot run each
+        context's block stack and ratio-blend the outputs. 'layer' mixing:
+        per slot, one context is selected (the reference samples
+        npr.choice(p=ratios) per slot, vd.py:397-402) — pass the sampled
+        indices as `layer_choices` [num_c_slots] int array (traced
+        lax.switch; no retrace per draw).
 
         contexts: list of [B, M_i, D] arrays; ratios: [num_ctx] (normalized
         here); c_types: the diffuser whose context blocks serve each context.
@@ -82,11 +87,27 @@ class MultiDiffuser(nn.Module):
                 h = host.run_data(di, h, emb)
                 di += 1
             elif token == "c":
-                mixed = None
-                for idx, (ctx, ct) in enumerate(zip(contexts, c_types)):
-                    hi = self.unets[ct].run_context(ci, h, ctx, tokenizer=host) * r[idx].astype(h.dtype)
-                    mixed = hi if mixed is None else mixed + hi
-                h = mixed
+                if mixing_type == "attention":
+                    mixed = None
+                    for idx, (ctx, ct) in enumerate(zip(contexts, c_types)):
+                        hi = self.unets[ct].run_context(
+                            ci, h, ctx, tokenizer=host) * r[idx].astype(h.dtype)
+                        mixed = hi if mixed is None else mixed + hi
+                    h = mixed
+                elif mixing_type == "layer":
+                    # one-hot select of the per-slot sampled context (output
+                    # identical to the reference's branch pick; all branches
+                    # are computed and masked — jit-stable across draws)
+                    sel = jax.nn.one_hot(layer_choices[ci], len(contexts),
+                                         dtype=h.dtype)
+                    mixed = None
+                    for idx, (ctx, ct) in enumerate(zip(contexts, c_types)):
+                        hi = self.unets[ct].run_context(
+                            ci, h, ctx, tokenizer=host) * sel[idx]
+                        mixed = hi if mixed is None else mixed + hi
+                    h = mixed
+                else:
+                    raise ValueError(mixing_type)
                 ci += 1
             elif token == "save":
                 hs.append(h)
@@ -177,10 +198,42 @@ class VDModel:
             method=MultiDiffuser.apply_flow)
 
     def apply_model_multicontext(self, params, x, timesteps, contexts, ratios,
-                                 x_type: str, c_types: Sequence[str]):
+                                 x_type: str, c_types: Sequence[str],
+                                 mixing_type: str = "attention",
+                                 layer_choices=None):
         return self.diffuser.apply(
             {"params": params}, x, timesteps, contexts, ratios, x_type, c_types,
+            mixing_type, layer_choices,
             method=MultiDiffuser.apply_flow_multicontext)
+
+    def num_context_slots(self, x_type: str = "image") -> int:
+        """Context-layer slot count of a diffuser's program."""
+        from vdtpu.models.unet import build_program_0d, build_program_2d
+        cfg = dict(self.diffuser.diffuser_cfgs)[x_type]
+        a = cfg["args"]
+        if "in_channels" in a:
+            prog = build_program_2d(
+                a["in_channels"], a["model_channels"], a["out_channels"],
+                list(a["num_res_blocks"]), list(a["attention_resolutions"]),
+                list(a["channel_mult"]), a.get("num_heads"),
+                a.get("num_head_channels"))
+        else:
+            prog = build_program_0d(
+                a["input_channels"], a["model_channels"], a["output_channels"],
+                list(a["num_noattn_blocks"]), list(a["channel_mult"]),
+                list(a["second_dim"]), list(a["with_attn"]),
+                a.get("num_heads"), a.get("num_head_channels"))
+        return len(prog.ctx)
+
+    def sample_layer_choices(self, rng, ratios, x_type: str = "image"):
+        """Per-context-slot categorical draws from the (normalized) ratios —
+        the host-side equivalent of the reference's npr.choice per slot
+        (vd.py:397-399), for mixing_type='layer'."""
+        n_slots = self.num_context_slots(x_type)
+        r = jnp.asarray(ratios, jnp.float32)
+        r = r / r.sum()
+        logits = jnp.broadcast_to(jnp.log(r), (n_slots, r.shape[0]))
+        return jax.random.categorical(rng, logits, axis=-1)
 
     def scale_latent(self, z, which: str):
         s = self.latent_scale_factor.get(which)

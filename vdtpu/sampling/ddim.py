@@ -50,24 +50,32 @@ class DDIMTables:
                 jnp.asarray(self.sqrt_one_minus_alphas))
 
 
-def _ddim_update(x, eps, a_t, a_prev, sigma, som, key, temperature):
+def _ddim_update(x, eps, a_t, a_prev, sigma, som, key, temperature,
+                 noise_dropout: float = 0.0):
     """One x_t -> x_{t-1} DDIM update (ref ddim.py:158-171)."""
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     a_t = a_t.reshape(()).astype(x.dtype)
     a_prev = a_prev.reshape(()).astype(x.dtype)
     sigma = sigma.reshape(()).astype(x.dtype)
     som = som.reshape(()).astype(x.dtype)
     pred_x0 = (x - som * eps) / jnp.sqrt(a_t)
     dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0, None)) * eps
+    key, kd = jax.random.split(key)
     noise = sigma * jax.random.normal(key, x.shape, x.dtype) * temperature
+    if noise_dropout > 0.0:  # ref ddim.py:168-169
+        keep = jax.random.bernoulli(kd, 1.0 - noise_dropout, x.shape)
+        noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
     return jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, pred_x0
 
 
 def ddim_scan(
     eps_fn: Callable,          # (x, t[B], step_index) -> eps
     x_init, key, tables: DDIMTables, temperature: float = 1.0,
+    noise_dropout: float = 0.0, return_intermediates: bool = False,
 ):
-    """Run the full reversed-timestep loop as one lax.scan."""
+    """Run the full reversed-timestep loop as one lax.scan.
+
+    return_intermediates stacks (pred_xt, pred_x0) per step (the reference's
+    intermediates log, ddim.py:107-125) — callers subsample as needed."""
     ts, al, alp, sig, som = tables.stacked()
     n = ts.shape[0]
     bsz = x_init.shape[0]
@@ -78,11 +86,15 @@ def ddim_scan(
         key, sub = jax.random.split(key)
         t_b = jnp.full((bsz,), t, jnp.int32)
         eps = eps_fn(x, t_b, i)
-        x_next, _ = _ddim_update(x, eps, a_t, a_prev, sigma, s1m, sub, temperature)
-        return (x_next, key), None
+        x_next, pred_x0 = _ddim_update(x, eps, a_t, a_prev, sigma, s1m, sub,
+                                       temperature, noise_dropout)
+        out = (x_next, pred_x0) if return_intermediates else None
+        return (x_next, key), out
 
     idx = jnp.arange(n)
-    (x, _), _ = jax.lax.scan(step, (x_init, key), (idx, ts, al, alp, sig, som))
+    (x, _), inter = jax.lax.scan(step, (x_init, key), (idx, ts, al, alp, sig, som))
+    if return_intermediates:
+        return x, {"pred_xt": inter[0], "pred_x0": inter[1]}
     return x
 
 
@@ -156,7 +168,8 @@ class DDIMSampler:
         return jax.random.normal(key, shape, dtype), tables
 
     def sample(self, params, key, steps, shape, x_info, c_info,
-               eta=0.0, temperature=1.0, dtype=jnp.float32):
+               eta=0.0, temperature=1.0, noise_dropout=0.0,
+               return_intermediates=False, dtype=jnp.float32):
         """Single-context sampling with CFG (ref ddim.py:58-127)."""
         tables = DDIMTables.create(self.model.schedule, steps, eta)
         key, sub = jax.random.split(jax.random.fold_in(key, 0))
@@ -172,10 +185,13 @@ class DDIMSampler:
             None if c_info.get("unconditional_conditioning") is None
             else jnp.asarray(c_info["unconditional_conditioning"], dtype),
             float(c_info.get("unconditional_guidance_scale", 1.0)))
-        return ddim_scan(eps, x, key, tables, temperature)
+        return ddim_scan(eps, x, key, tables, temperature, noise_dropout,
+                         return_intermediates)
 
     def sample_multicontext(self, params, key, steps, shape, x_info, c_info_list,
-                            eta=0.0, temperature=1.0, dtype=jnp.float32):
+                            eta=0.0, temperature=1.0, noise_dropout=0.0,
+                            mixing_type="attention", layer_choices=None,
+                            return_intermediates=False, dtype=jnp.float32):
         """Multi-context sampling (ref ddim.py:173-242)."""
         scales = {float(ci.get("unconditional_guidance_scale", 1.0)) for ci in c_info_list}
         if len(scales) != 1:
@@ -191,9 +207,11 @@ class DDIMSampler:
 
         def apply_multi(xx, tt, ctxs):
             return self.model.apply_model_multicontext(
-                params, xx, tt, ctxs, ratios, x_type, c_types)
+                params, xx, tt, ctxs, ratios, x_type, c_types,
+                mixing_type=mixing_type, layer_choices=layer_choices)
 
         eps = cfg_eps_fn_multicontext(apply_multi, [
             {k: (jnp.asarray(v, dtype) if k in ("conditioning", "unconditional_conditioning") and v is not None else v)
              for k, v in ci.items()} for ci in c_info_list], scales.pop())
-        return ddim_scan(eps, x, key, tables, temperature)
+        return ddim_scan(eps, x, key, tables, temperature, noise_dropout,
+                         return_intermediates)
