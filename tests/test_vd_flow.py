@@ -246,3 +246,49 @@ def test_ddim_intermediates_and_noise_dropout():
     assert inter["pred_x0"].shape == (5, 2, 4, 4, 3)
     np.testing.assert_array_equal(np.asarray(inter["pred_xt"][-1]), np.asarray(x))
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_img2img_x0_truncation_matches_replay():
+    """The x0/x0_forward_timesteps path (ref ddim.py:97-103): q_sample at
+    ascending-step k, then denoise over only the k lowest timesteps."""
+    from vdtpu.models.vd import VDModel
+    from vdtpu.ops.schedules import DiffusionSchedule
+    from vdtpu.sampling.ddim import DDIMSampler, DDIMTables
+
+    sched = DiffusionSchedule.create(1000, "linear", 0.00085, 0.012)
+
+    class ToyModel:
+        schedule = sched
+        def apply_model(self, params, x, t, c, x_type, c_type):
+            return 0.05 * x + c.mean() * 0.0  # linear toy eps
+
+    sampler = DDIMSampler(ToyModel())
+    steps, kcut = 10, 4
+    rs = np.random.RandomState(0)
+    x0 = rs.randn(2, 4, 4, 3).astype(np.float32)
+    cond = jnp.zeros((2, 3, 8))
+    key = jax.random.PRNGKey(5)
+
+    out = sampler.sample(
+        None, key, steps, x0.shape,
+        {"type": "image", "x0": x0, "x0_forward_timesteps": kcut},
+        {"type": "text", "conditioning": cond,
+         "unconditional_conditioning": None,
+         "unconditional_guidance_scale": 1.0})
+
+    # replay: same key stream as sampler._x_init + ddim_scan
+    tables = DDIMTables.create(sched, steps, 0.0)
+    ts_asc = tables.timesteps[::-1]
+    key2, sub = jax.random.split(jax.random.fold_in(key, 0))
+    noise = jax.random.normal(jax.random.split(sub)[1], x0.shape, jnp.float32)
+    t0 = jnp.full((2,), int(ts_asc[kcut]), jnp.int32)
+    x = np.asarray(sched.q_sample(jnp.asarray(x0), t0, noise), np.float32)
+
+    f = np.float32
+    for i in range(steps - kcut, steps):  # trailing k rows of the descending tables
+        e = f(0.05) * x
+        a_t, a_prev = f(tables.alphas[i]), f(tables.alphas_prev[i])
+        som = f(tables.sqrt_one_minus_alphas[i])
+        pred_x0 = ((x - som * e) / np.sqrt(a_t)).astype(f)
+        x = (np.sqrt(a_prev) * pred_x0 + (np.sqrt(f(1) - a_prev) * e)).astype(f)
+    np.testing.assert_allclose(np.asarray(out), x, atol=2e-4, rtol=1e-4)
