@@ -309,6 +309,8 @@ class OptimusVAE:
     latent_size: int = 768
     bos_id: int = GPT2_BOS
     eos_id: int = GPT2_EOS
+    _encode_jit: Any = None
+    _decode_jit: Any = None
 
     def init_params(self, rng):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0) if rng is None else rng)
@@ -341,8 +343,10 @@ class OptimusVAE:
     # ---- the two public ops (ref optimus.py:729-763) ----
 
     def encode_ids(self, params, input_ids):
-        mu_logvar = self.encoder.apply({"params": params["encoder"]},
-                                       jnp.asarray(input_ids))
+        if self._encode_jit is None:
+            object.__setattr__(self, "_encode_jit", jax.jit(
+                lambda p, ids: self.encoder.apply({"params": p}, ids)))
+        mu_logvar = self._encode_jit(params["encoder"], jnp.asarray(input_ids))
         mu, _logvar = jnp.split(mu_logvar, 2, axis=-1)
         return mu  # inference uses the posterior mean (optimus.py:741-743)
 
@@ -354,10 +358,17 @@ class OptimusVAE:
         return self.encode_ids(params, ids)
 
     def decode_ids(self, params, z, rng, temperature: float = 1.0):
-        return self.decoder.apply(
-            {"params": params["decoder"]}, jnp.asarray(z), rng,
-            temperature=temperature, eos_token=self.eos_id,
-            bos_token=self.bos_id, method=OptimusGPT2Connector.generate)
+        # jit-cached: un-jitted apply re-traces the 30-step scan every call
+        # (~3.7s of host tracing vs ~60ms on device)
+        if self._decode_jit is None:
+            def _decode(p, z, rng, temp):
+                return self.decoder.apply(
+                    {"params": p}, z, rng, temperature=temp,
+                    eos_token=self.eos_id, bos_token=self.bos_id,
+                    method=OptimusGPT2Connector.generate)
+            object.__setattr__(self, "_decode_jit", jax.jit(_decode))
+        return self._decode_jit(params["decoder"], jnp.asarray(z), rng,
+                                jnp.asarray(temperature, jnp.float32))
 
     def decode(self, params, z, temperature: float = 1.0, rng=None) -> list[str]:
         rng = jax.random.PRNGKey(0) if rng is None else rng
