@@ -11,7 +11,6 @@ split inside the scan (eta > 0 / temperature paths).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Mapping, Sequence
 
 import jax
@@ -167,26 +166,62 @@ class DDIMSampler:
             return x, trunc
         return jax.random.normal(key, shape, dtype), tables
 
+    def _jitted(self, cache_key, build):
+        """Per-signature jit cache: un-jitted sampling re-traces the whole
+        50-step scan on EVERY request (seconds of host time; same failure
+        mode fixed for Optimus decode — PERF.md)."""
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(build())
+            self._jit_cache[cache_key] = fn
+        return fn
+
     def sample(self, params, key, steps, shape, x_info, c_info,
                eta=0.0, temperature=1.0, noise_dropout=0.0,
                return_intermediates=False, dtype=jnp.float32):
         """Single-context sampling with CFG (ref ddim.py:58-127)."""
-        tables = DDIMTables.create(self.model.schedule, steps, eta)
-        key, sub = jax.random.split(jax.random.fold_in(key, 0))
-        x, tables = self._x_init(sub, tuple(shape), x_info, tables, dtype)
-
         x_type = x_info["type"]
         c_type = c_info["type"]
-        apply = partial(self.model.apply_model, params,
-                        x_type=x_type, c_type=c_type)
-        eps = cfg_eps_fn(
-            lambda xx, tt, cc: apply(xx, tt, cc),
-            jnp.asarray(c_info["conditioning"], dtype),
-            None if c_info.get("unconditional_conditioning") is None
-            else jnp.asarray(c_info["unconditional_conditioning"], dtype),
-            float(c_info.get("unconditional_guidance_scale", 1.0)))
-        return ddim_scan(eps, x, key, tables, temperature, noise_dropout,
-                         return_intermediates)
+        scale = float(c_info.get("unconditional_guidance_scale", 1.0))
+        mode = "xt" if x_info.get("xt") is not None else \
+            "x0" if x_info.get("x0") is not None else "noise"
+        k = int(x_info.get("x0_forward_timesteps", 0)) if mode == "x0" else 0
+        uncond = c_info.get("unconditional_conditioning")
+        uncond_is_none = uncond is None  # no-CFG semantics (ref ddim.py:140-142)
+        shape = tuple(int(s) for s in shape)
+        cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
+                     mode, k, float(temperature), float(noise_dropout),
+                     bool(return_intermediates), uncond_is_none, str(dtype))
+
+        def build():
+            tables = DDIMTables.create(self.model.schedule, steps, eta)
+
+            def run(params, key, cond, uncond, xin):
+                key, sub = jax.random.split(jax.random.fold_in(key, 0))
+                xi = {"type": x_type}
+                if mode == "xt":
+                    xi["xt"] = xin
+                elif mode == "x0":
+                    xi["x0"] = xin
+                    xi["x0_forward_timesteps"] = k
+                x, tbl = self._x_init(sub, shape, xi, tables, dtype)
+                eps = cfg_eps_fn(
+                    lambda xx, tt, cc: self.model.apply_model(
+                        params, xx, tt, cc, x_type, c_type),
+                    cond, None if uncond_is_none else uncond, scale)
+                return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
+                                 return_intermediates)
+            return run
+
+        fn = self._jitted(cache_key, build)
+        cond = jnp.asarray(c_info["conditioning"], dtype)
+        unc = jnp.zeros_like(cond) if uncond is None else jnp.asarray(uncond, dtype)
+        xin = jnp.asarray(x_info.get("xt") if mode == "xt" else
+                          x_info.get("x0") if mode == "x0" else
+                          jnp.zeros(shape), dtype)
+        return fn(params, key, cond, unc, xin)
 
     def sample_multicontext(self, params, key, steps, shape, x_info, c_info_list,
                             eta=0.0, temperature=1.0, noise_dropout=0.0,
@@ -197,21 +232,58 @@ class DDIMSampler:
         if len(scales) != 1:
             raise ValueError("all contexts must share one guidance scale "
                              "(ref ddim.py:256-261)")
-        tables = DDIMTables.create(self.model.schedule, steps, eta)
-        key, sub = jax.random.split(jax.random.fold_in(key, 0))
-        x, tables = self._x_init(sub, tuple(shape), x_info, tables, dtype)
-
+        scale = scales.pop()
         x_type = x_info["type"]
-        c_types = [ci["type"] for ci in c_info_list]
-        ratios = [float(ci.get("ratio", 1.0)) for ci in c_info_list]
+        c_types = tuple(ci["type"] for ci in c_info_list)
+        ratios = tuple(float(ci.get("ratio", 1.0)) for ci in c_info_list)
+        mode = "xt" if x_info.get("xt") is not None else \
+            "x0" if x_info.get("x0") is not None else "noise"
+        k = int(x_info.get("x0_forward_timesteps", 0)) if mode == "x0" else 0
+        shape = tuple(int(s) for s in shape)
+        ctx_shapes = tuple(tuple(np.shape(ci["conditioning"])) for ci in c_info_list)
+        cache_key = ("multi", steps, float(eta), shape, x_type, c_types, scale,
+                     ratios, mode, k, float(temperature), float(noise_dropout),
+                     mixing_type, layer_choices is None,
+                     bool(return_intermediates), ctx_shapes, str(dtype))
 
-        def apply_multi(xx, tt, ctxs):
-            return self.model.apply_model_multicontext(
-                params, xx, tt, ctxs, ratios, x_type, c_types,
-                mixing_type=mixing_type, layer_choices=layer_choices)
+        def build():
+            tables = DDIMTables.create(self.model.schedule, steps, eta)
 
-        eps = cfg_eps_fn_multicontext(apply_multi, [
-            {k: (jnp.asarray(v, dtype) if k in ("conditioning", "unconditional_conditioning") and v is not None else v)
-             for k, v in ci.items()} for ci in c_info_list], scales.pop())
-        return ddim_scan(eps, x, key, tables, temperature, noise_dropout,
-                         return_intermediates)
+            def run(params, key, conds, unconds, xin, choices):
+                key, sub = jax.random.split(jax.random.fold_in(key, 0))
+                xi = {"type": x_type}
+                if mode == "xt":
+                    xi["xt"] = xin
+                elif mode == "x0":
+                    xi["x0"] = xin
+                    xi["x0_forward_timesteps"] = k
+                x, tbl = self._x_init(sub, shape, xi, tables, dtype)
+
+                def apply_multi(xx, tt, ctxs):
+                    return self.model.apply_model_multicontext(
+                        params, xx, tt, ctxs, list(ratios), x_type,
+                        list(c_types), mixing_type=mixing_type,
+                        layer_choices=choices)
+
+                c_infos = [
+                    {"conditioning": c, "unconditional_conditioning": u}
+                    for c, u in zip(conds, unconds)]
+                eps = cfg_eps_fn_multicontext(apply_multi, c_infos, scale)
+                return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
+                                 return_intermediates)
+            return run
+
+        fn = self._jitted(cache_key, build)
+        conds = tuple(jnp.asarray(ci["conditioning"], dtype) for ci in c_info_list)
+        unconds = tuple(
+            jnp.zeros_like(c) if ci.get("unconditional_conditioning") is None
+            else jnp.asarray(ci["unconditional_conditioning"], dtype)
+            for c, ci in zip(conds, c_info_list))
+        xin = jnp.asarray(x_info.get("xt") if mode == "xt" else
+                          x_info.get("x0") if mode == "x0" else
+                          jnp.zeros(shape), dtype)
+        choices = jnp.zeros((0,), jnp.int32) if layer_choices is None else \
+            jnp.asarray(layer_choices)
+        if layer_choices is None and mixing_type == "layer":
+            raise ValueError("mixing_type='layer' requires layer_choices")
+        return fn(params, key, conds, unconds, xin, choices)
