@@ -79,3 +79,17 @@ def test_focus_filter_noop_at_half(vdi):
     ci = jnp.asarray(np.random.RandomState(3).randn(1, 17, 96).astype(np.float32))
     out = vdi._focus_filter(ci, 0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ci))
+
+
+def test_serving_paths_reuse_jit_cache(vdi):
+    """Repeat requests must hit the sampler's jit cache (PERF.md: un-jitted
+    sampling re-traced the whole scan per request)."""
+    vdi.inference_t2i("warm", seed=0)
+    cache = vdi.sys.sampler._jit_cache
+    n_entries = len(cache)
+    n_traces = {k: f._cache_size() for k, f in cache.items()}
+    vdi.inference_t2i("again", seed=1)
+    vdi.inference_t2i("and again", seed=2)
+    assert len(vdi.sys.sampler._jit_cache) == n_entries
+    for k, f in vdi.sys.sampler._jit_cache.items():
+        assert f._cache_size() == n_traces[k], "sampler retraced on repeat call"
