@@ -35,3 +35,19 @@ def save_checkpoint(ckpt_dir: str, tag: str, state) -> str:
 def restore_checkpoint(ckpt_dir: str, tag: str, template=None) -> dict[str, Any]:
     path = os.path.join(os.path.abspath(ckpt_dir), tag)
     return _ckptr().restore(path, item=template)
+
+
+def latest_tag(ckpt_dir: str) -> str:
+    """Most recent checkpoint tag in a run dir: prefer ``last``, else the
+    highest ``iter_N``, else ``best`` (ref filename scheme utils.py:315-359)."""
+    tags = [d for d in os.listdir(ckpt_dir)
+            if os.path.isdir(os.path.join(ckpt_dir, d))]
+    if "last" in tags:
+        return "last"
+    iters = sorted((int(t.split("_", 1)[1]), t) for t in tags
+                   if t.startswith("iter_") and t.split("_", 1)[1].isdigit())
+    if iters:
+        return iters[-1][1]
+    if "best" in tags:
+        return "best"
+    raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")

@@ -28,7 +28,8 @@ import numpy as np
 import optax
 
 from vdtpu.models.vd import VDModel
-from vdtpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from vdtpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings, replicated)
 from vdtpu.training.ema import EmaState, ema_init, ema_update
 from vdtpu.utils.logging import MetricAccumulator, print_log
 
@@ -138,21 +139,34 @@ class Trainer:
         self.eval_fn = eval_fn
         self.eval_every = eval_every
         self.best_metric = None
-
-        opt_state = tx.init(params)
-        ema = ema_init(params) if ema_decay is not None else None
-        self.state = TrainState(params, opt_state, ema, 0)
+        self.last_loss = None
 
         raw_step = make_train_step(model, tx, x_type, c_type, ema_decay, grad_accum)
         if mesh is not None:
+            # tp-aware layout: params live under param_shardings (output-feature
+            # sharding over the tp axis, mesh.py:_param_spec); opt_state and
+            # EMA are *created under jit from the sharded params* so their
+            # param-shaped leaves (adam mu/nu, shadow) inherit the same layout
+            # instead of being forced back to replicated (round-1 bug: the
+            # step was jitted with params in_shardings=replicated, silently
+            # un-sharding tp>1 training).
+            psh = param_shardings(mesh, params)
+            params = jax.device_put(params, psh)
+            opt_state = jax.jit(tx.init)(params)
+            ema = jax.jit(ema_init)(params) if ema_decay is not None else None
             bs = batch_sharding(mesh)
             rep = replicated(mesh)
             self._step = jax.jit(
                 raw_step,
-                in_shardings=(rep, rep, rep, bs, bs, rep, rep),
-                out_shardings=(rep, rep, rep, rep, rep))
+                in_shardings=(psh, None, None, bs, bs, rep, rep),
+                out_shardings=(psh, None, None, rep, rep))
+            self._psh = psh
         else:
+            opt_state = tx.init(params)
+            ema = ema_init(params) if ema_decay is not None else None
             self._step = jax.jit(raw_step)
+            self._psh = None
+        self.state = TrainState(params, opt_state, ema, 0)
 
     def run(self, batches: Iterable[Mapping[str, Any]], num_iters: int = None,
             rng=None, unit: str = "iter", num_units: int | None = None,
@@ -185,12 +199,15 @@ class Trainer:
             lr = self.scheduler[self.state.step // self.grad_accum] \
                 if self.scheduler is not None else 1e-4
             self.state.opt_state = self.set_lr(self.state.opt_state, lr)
-            rng, sub = jax.random.split(rng)
+            # step-indexed (not sequentially split) so a restored run draws
+            # the same t/noise at step k as the uninterrupted run would
+            sub = jax.random.fold_in(rng, self.state.step)
             params, opt, ema, loss, aux = self._step(
                 self.state.params, self.state.opt_state, self.state.ema,
                 jnp.asarray(batch["x"]), jnp.asarray(batch["ctx"]), sub,
                 jnp.asarray(lr, jnp.float32))
             self.state = TrainState(params, opt, ema, self.state.step + 1)
+            self.last_loss = float(loss)
             logm.accumulate({k: float(v) for k, v in aux.items()},
                             weight=batch["x"].shape[0])
             if self.state.step % self.log_every == 0:
@@ -214,3 +231,34 @@ class Trainer:
             return
         from vdtpu.training.checkpoints import save_checkpoint
         save_checkpoint(self.ckpt_dir, tag, self.state)
+
+    def restore(self, ckpt_dir: str | None = None, tag: str | None = None):
+        """Resume from a saved checkpoint: params + opt_state + EMA + step
+        (ref --resume_step/--resume_weight re-entry, lib/utils.py:79-85 —
+        fixed here to actually restore optimizer state and the counter).
+        """
+        from vdtpu.training.checkpoints import latest_tag, restore_checkpoint
+        ckpt_dir = ckpt_dir or self.ckpt_dir
+        if tag is None:
+            tag = latest_tag(ckpt_dir)
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "ema": None if self.state.ema is None else
+                {"shadow": self.state.ema.shadow,
+                 "num_updates": self.state.ema.num_updates},
+            "step": self.state.step,
+        }
+        payload = restore_checkpoint(ckpt_dir, tag, template)
+        params = payload["params"]
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.state.opt_state),
+            jax.tree_util.tree_leaves(payload["opt_state"]))
+        ema = None
+        if payload.get("ema") is not None and self.state.ema is not None:
+            ema = EmaState(payload["ema"]["shadow"],
+                           jnp.asarray(payload["ema"]["num_updates"], jnp.int32))
+        if self._psh is not None:
+            params = jax.device_put(params, self._psh)
+        self.state = TrainState(params, opt_state, ema, int(payload["step"]))
+        return self.state

@@ -47,6 +47,85 @@ def encode_batches(pipeline, system, x_type="image", c_type="text",
         yield {"x": np.asarray(x), "ctx": np.asarray(ctx)}
 
 
+def build_tokenizer(ecfg):
+    """CLIP tokenizer from config paths; `clip_max_length` caps the token
+    length (77 for the published towers, smaller for test miniatures)."""
+    if not ecfg.get("clip_vocab"):
+        return None
+    import functools
+    from vdtpu.data.tokenizers import CLIPTokenizer
+    tok = CLIPTokenizer(ecfg["clip_vocab"], ecfg["clip_merges"])
+    return functools.partial(tok, max_length=ecfg.get("clip_max_length", 77))
+
+
+def run_eval(ecfg, system, exp, args):
+    """Eval-only exec container (ref `eval`, lib/utils.py:567-601 and the
+    deprecated README's `--eval` entry, README_deprecated.md:97-103): stream
+    the eval split, generate images from the captions with the frozen
+    system, score with the configured evaluator, write the summary under
+    ``<log_dir>/<eval_subdir>/``. The reference shipped this container but
+    not its `lib/evaluator`; ours is `vdtpu.training.evaluator`."""
+    import itertools
+    import os
+
+    import jax.numpy as jnp
+
+    from vdtpu.training.evaluator import EvalStage, get_evaluator
+    from vdtpu.utils.logging import print_log, set_log_file
+
+    vcfg = dict(ecfg.get("eval") or {})
+    out_dir = os.path.join(exp.log_dir, args.eval_subdir or "eval")
+    os.makedirs(out_dir, exist_ok=True)
+    set_log_file(os.path.join(out_dir, "eval.log"))
+
+    tokenizer = build_tokenizer(ecfg)
+    if tokenizer is None:
+        raise SystemExit("--eval needs clip_vocab/clip_merges in the config")
+
+    steps = vcfg.get("ddim_steps", 50)
+    scale = vcfg.get("scale", 7.5)
+    latent = vcfg.get("latent_size", 64)
+    latent_dim = vcfg.get("latent_dim", 4)
+    ev_name = vcfg.get("evaluator", "clip_similarity")
+    key = jax.random.PRNGKey(vcfg.get("seed", 0))
+    uncond_1 = system.ctx_encode(tokenizer([""]), "text")
+
+    def sample_fn(batch):
+        nonlocal key
+        ids = tokenizer(list(batch["caption"]))
+        c = system.ctx_encode(ids, "text")
+        u = jnp.tile(uncond_1, (c.shape[0], 1, 1))
+        key, sub = jax.random.split(key)
+        x = system.sampler.sample(
+            system.params["diffuser"], sub, steps,
+            (c.shape[0], latent, latent, latent_dim), {"type": "image"},
+            {"type": "text", "conditioning": c,
+             "unconditional_conditioning": u,
+             "unconditional_guidance_scale": scale},
+            dtype=system.dtype)
+        imgs = system.vae_decode(x, "image")
+        # CLIP-sim pairs generations with their prompts; FID with the reals
+        return (imgs, ids) if ev_name == "clip_similarity" \
+            else (imgs, batch["image"])
+
+    if ev_name == "clip_similarity":
+        evaluator = get_evaluator(ev_name,
+                                  image_embed_fn=system.clip_image_features,
+                                  text_embed_fn=system.clip_text_features)
+    else:
+        evaluator = get_evaluator(ev_name,
+                                  feature_fn=system.clip_image_features)
+    stage = EvalStage(evaluator, sample_fn)
+    loader = iter(build_dataloader(ecfg["data"]))
+    if vcfg.get("max_batches"):
+        loader = itertools.islice(loader, vcfg["max_batches"])
+    summary = stage(loader)
+    with open(os.path.join(out_dir, "summary.yaml"), "w") as f:
+        yaml.safe_dump({k: float(v) for k, v in summary.items()}, f)
+    print_log(f"eval summary written to {out_dir}/summary.yaml")
+    return summary
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -54,6 +133,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume_dir", default=None)
+    p.add_argument("--resume_weight", default=None,
+                   help="checkpoint tag to restore (default: latest)")
+    p.add_argument("--eval", action="store_true",
+                   help="run the eval stage only (ref lib/utils.py:567-601)")
+    p.add_argument("--eval_subdir", default=None)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (TPU pods)")
     args = p.parse_args(argv)
@@ -92,8 +176,19 @@ def main(argv=None):
     model = system.model
     params = system.params["diffuser"]
 
+    if args.eval:
+        return run_eval(ecfg, system, exp, args)
+
     tcfg = ecfg["train"]
     mesh = make_mesh(tp=tcfg.get("tp", 1))
+    dp = mesh.shape["dp"]
+    bsz = ecfg["data"]["batch_size"]
+    if bsz % (dp * tcfg.get("gradacc_every", 1)):
+        # up-front alignment check (ref cfg_helper.py:456-461 asserts
+        # batch_size % gpu_count; here the batch shards over the dp axis)
+        raise SystemExit(
+            f"data.batch_size={bsz} must be divisible by dp={dp} x "
+            f"gradacc_every={tcfg.get('gradacc_every', 1)}")
     params = shard_params(mesh, params)
     tx, set_lr = get_optimizer(
         tcfg.get("optimizer", "adamw"), params=params,
@@ -110,10 +205,15 @@ def main(argv=None):
         log_every=tcfg.get("log_every", 100),
         ckpt_every=tcfg.get("ckpt_every"), ckpt_dir=exp.weight_dir)
 
-    tokenizer = None
-    if ecfg.get("clip_vocab"):
-        from vdtpu.data.tokenizers import CLIPTokenizer
-        tokenizer = CLIPTokenizer(ecfg["clip_vocab"], ecfg["clip_merges"])
+    if args.resume_dir:
+        # restore params + opt_state + EMA + step and continue counting
+        # (the reference only re-enters the loop at --resume_step and never
+        # restores optimizer state, lib/utils.py:79-85; fixed here)
+        state = trainer.restore(exp.weight_dir, tag=args.resume_weight)
+        from vdtpu.utils.logging import print_log
+        print_log(f"resumed from {exp.weight_dir} at step {state.step}")
+
+    tokenizer = build_tokenizer(ecfg)
 
     pipeline = build_dataloader(ecfg["data"])
     batches = encode_batches(pipeline, system, tcfg.get("x_type", "image"),
