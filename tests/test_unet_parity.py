@@ -118,6 +118,42 @@ def test_unet0d_parity(ref_om):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_0d_per_level_second_dim(ref_om):
+    """Per-level second_dim (ref openaimodel.py:2885-2963 carries [C,S,1]
+    state per level). The reference itself CRASHES at runtime for varying S
+    (torch.cat dim=1 across levels with mismatched S, and FCBlock channel
+    specs computed from the wrong S), so the oracle here is the construction
+    walk: per-slot (C, S) must follow the level the slot sits in — round 1
+    wrongly tokenized every slot with S = second_dim[0]."""
+    cfg = dict(input_channels=24, model_channels=32, output_channels=24,
+               num_noattn_blocks=[1, 1], channel_mult=[1, 2], second_dim=[4, 6],
+               with_attn=[True, True], num_heads=4, context_dim=16)
+    from vdtpu.models.unet import build_program_0d
+    p = build_program_0d(24, 32, 24, [1, 1], [1, 2], [4, 6], [True, True], 4)
+    # construction replay: i:[(32,4),(64,6)] m:[(64,6)] o:[(64,6),(64,6),(32,4),(32,4)]
+    expected = [(32, 4), (64, 6), (64, 6), (64, 6), (64, 6), (32, 4), (32, 4)]
+    assert [c.channels for c in p.ctx] == [c for c, _ in expected]
+    # the reference's ctx-block channel sequence agrees where constructible
+    tm = ref_om.UNetModel0D_Next(**cfg)
+    ref_chs = [blk[0].in_channels for blk in tm.context_blocks]
+    assert ref_chs == [c for c, _ in expected]
+
+    ours = UNet0DNext(**cfg)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 24).astype(np.float32))
+    t = jnp.array([7, 42])
+    ctx = jnp.asarray(np.random.RandomState(3).randn(2, 5, 16).astype(np.float32))
+    params = ours.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = ours.apply(params, x, t, ctx)
+    assert out.shape == (2, 24) and np.isfinite(np.asarray(out)).all()
+
+    # tokens_of must reshape by the slot's channel count, not second_dim[0]
+    bound = ours.bind(params)
+    for ci, (c, s) in enumerate(expected):
+        tokens, restore = bound.tokens_of(jnp.zeros((2, c * s)), ci)
+        assert tokens.shape == (2, s, c), (ci, tokens.shape)
+        assert restore(tokens).shape == (2, c * s)
+
+
 def test_remat_preserves_forward_and_grad(ref_om):
     """use_checkpoint (nn.remat) must not change forward values or grads."""
     cfg = dict(SMALL_2D)

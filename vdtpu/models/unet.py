@@ -274,7 +274,7 @@ class UNetBase(nn.Module):
         """Apply context block i. `tokenizer` is the diffuser that owns the
         data stream (its shape determines tokenization); in cross-flow use the
         context-block owner and the data stream differ (vd.py:344-345)."""
-        tokens, restore = (tokenizer or self).tokens_of(h)
+        tokens, restore = (tokenizer or self).tokens_of(h, i)
         return restore(self._ctx[i](tokens, ctx))
 
     def __call__(self, x, timesteps, context):
@@ -342,7 +342,7 @@ class UNet2DNext(UNetBase):
                    dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
-    def tokens_of(self, h):
+    def tokens_of(self, h, ci: int = 0):
         b, hh, ww, c = h.shape
         return h.reshape(b, hh * ww, c), lambda t: t.reshape(b, hh, ww, c)
 
@@ -385,10 +385,14 @@ class UNet0DNext(UNetBase):
                    dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
-    def tokens_of(self, h):
-        # flat channel-major [B, C*S] -> tokens [B, S, C]
+    def tokens_of(self, h, ci: int = 0):
+        # flat channel-major [B, C*S] -> tokens [B, S, C]; the channel count
+        # at context slot `ci` comes from the layer program (per-level
+        # second_dim means S varies across slots — ref openaimodel.py:
+        # 2885-2963 carries [C, S, 1] state per level; round 1 wrongly
+        # assumed S == second_dim[0] everywhere)
         b, f = h.shape
-        sdim = self.second_dim[0]
-        c = f // sdim
+        c = self.program.ctx[ci].channels
+        sdim = f // c
         tokens = h.reshape(b, c, sdim).transpose(0, 2, 1)
         return tokens, lambda t: t.transpose(0, 2, 1).reshape(b, f)

@@ -140,6 +140,9 @@ class VDModel:
     parameterization: str = "eps"
     loss_type: str = "l2"
     l_simple_weight: float = 1.0
+    l_elbo_weight: float = 0.0
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
     use_ema: bool = False
 
     # ---- construction ----
@@ -160,12 +163,18 @@ class VDModel:
             beta_schedule=args.get("beta_schedule", "linear"),
             linear_start=args.get("beta_linear_start", 1e-4),
             linear_end=args.get("beta_linear_end", 2e-2),
+            v_posterior=args.get("v_posterior", 0.0),
             parameterization=args.get("parameterization", "eps"))
         return cls(
             diffuser=diffuser,
             schedule=schedule,
             latent_scale_factor=args.get("latent_scale_factor") or {},
             parameterization=args.get("parameterization", "eps"),
+            loss_type=args.get("loss_type", "l2"),
+            l_simple_weight=args.get("l_simple_weight", 1.0),
+            l_elbo_weight=args.get("l_elbo_weight", 0.0),
+            learn_logvar=args.get("learn_logvar", False),
+            logvar_init=args.get("logvar_init", 0.0),
             use_ema=args.get("use_ema", False))
 
     def init_params(self, rng, shapes: Mapping[str, tuple] | None = None,
@@ -188,22 +197,37 @@ class VDModel:
             inputs[name] = {"x": jnp.zeros(xshape, jnp.float32), "context": ctx}
         t = jnp.zeros((1,), jnp.int32)
         init = jax.jit(self.diffuser.init) if jit else self.diffuser.init
-        return init(rng, inputs, t)["params"]
+        params = init(rng, inputs, t)["params"]
+        if self.learn_logvar:
+            # learnable per-timestep logvar vector (ref vd.py:101-103:
+            # nn.Parameter of size [num_timesteps] when learn_logvar)
+            params = dict(params)
+            params["logvar"] = jnp.full(
+                (self.schedule.num_timesteps,), self.logvar_init, jnp.float32)
+        return params
 
     # ---- inference ----
 
     def apply_model(self, params, x, timesteps, context, x_type: str, c_type: str):
+        params = self._diffuser_params(params)
         return self.diffuser.apply(
             {"params": params}, x, timesteps, context, x_type, c_type,
             method=MultiDiffuser.apply_flow)
+
+    @staticmethod
+    def _diffuser_params(params):
+        """Strip non-module leaves (the learnable logvar) from the tree the
+        linen diffuser sees."""
+        return {k: v for k, v in params.items() if k != "logvar"} \
+            if "logvar" in params else params
 
     def apply_model_multicontext(self, params, x, timesteps, contexts, ratios,
                                  x_type: str, c_types: Sequence[str],
                                  mixing_type: str = "attention",
                                  layer_choices=None):
         return self.diffuser.apply(
-            {"params": params}, x, timesteps, contexts, ratios, x_type, c_types,
-            mixing_type, layer_choices,
+            {"params": self._diffuser_params(params)}, x, timesteps, contexts,
+            ratios, x_type, c_types, mixing_type, layer_choices,
             method=MultiDiffuser.apply_flow_multicontext)
 
     def num_context_slots(self, x_type: str = "image") -> int:
@@ -256,16 +280,37 @@ class VDModel:
         raise NotImplementedError(self.loss_type)
 
     def p_losses(self, params, x, t, context, x_type: str, c_type: str, noise):
-        """eps/x0-parameterized diffusion loss (ref vd.py:246-280)."""
+        """eps/x0-parameterized diffusion loss (ref vd.py:246-280):
+
+        loss = l_simple_weight * mean(loss_simple / exp(logvar_t) + logvar_t)
+             + l_elbo_weight * mean(lvlb_weights[t] * loss_simple)
+
+        logvar_t comes from the learnable params["logvar"] vector when
+        learn_logvar (ref :101-103, :264-273), else the constant logvar_init.
+        NOTE: the reference declares l_elbo_weight but never applies it
+        (vd.py:274-277 computes loss_vlb into the dict only — dropping the
+        `loss += original_elbo_weight * loss_vlb` of the LDM lineage); here
+        the declared semantics are implemented, and the default
+        l_elbo_weight=0 reproduces the reference's effective behavior.
+        """
         x_noisy = self.q_sample(x, t, noise)
         model_out = self.apply_model(params, x_noisy, t, context, x_type, c_type)
         target = x if self.parameterization == "x0" else noise
         bsz = model_out.shape[0]
         per_ex = self.get_loss(model_out, target).reshape(bsz, -1).mean(-1)
         loss_simple = per_ex.mean()
+        if self.learn_logvar:
+            logvar_t = params["logvar"][t]
+        else:
+            logvar_t = jnp.full_like(per_ex, self.logvar_init)
+        gamma = per_ex / jnp.exp(logvar_t) + logvar_t
         lvlb = (extract(self.schedule.lvlb_weights, t, 1) * per_ex).mean()
-        loss = self.l_simple_weight * loss_simple
-        return loss, {"loss_simple": loss_simple, "loss_vlb": lvlb, "Loss": loss}
+        loss = self.l_simple_weight * gamma.mean() + self.l_elbo_weight * lvlb
+        aux = {"loss_simple": loss_simple, "loss_vlb": lvlb, "Loss": loss}
+        if self.learn_logvar:
+            aux["loss_gamma"] = gamma.mean()
+            aux["logvar"] = params["logvar"].mean()
+        return loss, aux
 
 
 @register("vd_v2_0")

@@ -52,8 +52,13 @@ class VDSystem:
     """Builds and owns every module + param tree of a VD config."""
 
     def __init__(self, cfg_name: str = "vd_four_flow_v1-0", dtype=jnp.float32,
-                 with_text_vae: bool = True):
+                 with_text_vae: bool = True, model_args=None):
         self.cfg = model_cfg_bank()(cfg_name)
+        if model_args:
+            # experiment-level overlay over the model bank entry (training
+            # knobs like learn_logvar / l_elbo_weight / v_posterior — the
+            # reference's experiment cfg `args` dict-update, cfg_helper.py:123-135)
+            self.cfg = dict(self.cfg, args=dict(self.cfg["args"], **model_args))
         args = self.cfg["args"]
         self.dtype = dtype
         self.model = VDModel.from_config(self.cfg, dtype=dtype,

@@ -42,8 +42,18 @@ class TrainState:
     step: int = 0
 
 
-def make_loss_fn(model: VDModel, x_type: str, c_type: str):
+def make_loss_fn(model: VDModel, x_type: str, c_type: str,
+                 ctx_encode_fn: Callable | None = None):
+    """Without ctx_encode_fn, batches carry pre-encoded context (frozen
+    encoders, the reference's default). With it, the param tree is
+    {"diffuser": ..., "ctx": ...}, the batch's ctx is RAW encoder input
+    (token ids / pixels), and gradients flow into the context encoder — the
+    ctx_encode_trainable path (ref vd.py:307-311, which drops the
+    @torch.no_grad of ctx_encode so encoders fine-tune with the diffuser)."""
     def loss_fn(params, x, ctx, t, noise):
+        if ctx_encode_fn is not None:
+            ctx = ctx_encode_fn(params["ctx"], ctx)
+            params = params["diffuser"]
         loss, aux = model.p_losses(params, x, t, ctx, x_type, c_type, noise)
         return loss, aux
     return loss_fn
@@ -56,6 +66,7 @@ def make_train_step(
     c_type: str = "text",
     ema_decay: float | None = None,
     grad_accum: int = 1,
+    ctx_encode_fn: Callable | None = None,
 ):
     """One jitted update: draw t + noise, eps-loss, grad, optax update, EMA.
 
@@ -63,7 +74,7 @@ def make_train_step(
     sequentially (ref gradacc_every, utils.py:120-126) — gradients average
     before the single optimizer update.
     """
-    loss_fn = make_loss_fn(model, x_type, c_type)
+    loss_fn = make_loss_fn(model, x_type, c_type, ctx_encode_fn)
     nT = model.schedule.num_timesteps
 
     def microbatch_grads(params, x, ctx, rng):
@@ -126,6 +137,7 @@ class Trainer:
         ckpt_dir: str | None = None,
         eval_fn: Callable | None = None,
         eval_every: int | None = None,
+        ctx_encode_fn: Callable | None = None,
     ):
         self.model = model
         self.tx = tx
@@ -141,7 +153,8 @@ class Trainer:
         self.best_metric = None
         self.last_loss = None
 
-        raw_step = make_train_step(model, tx, x_type, c_type, ema_decay, grad_accum)
+        raw_step = make_train_step(model, tx, x_type, c_type, ema_decay,
+                                   grad_accum, ctx_encode_fn)
         if mesh is not None:
             # tp-aware layout: params live under param_shardings (output-feature
             # sharding over the tp axis, mesh.py:_param_spec); opt_state and

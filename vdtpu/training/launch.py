@@ -166,7 +166,8 @@ def main(argv=None):
 
     import jax.numpy as jnp
     system = VDSystem(ecfg["model"],
-                      dtype=jnp.bfloat16 if ecfg.get("bf16") else jnp.float32)
+                      dtype=jnp.bfloat16 if ecfg.get("bf16") else jnp.float32,
+                      model_args=ecfg.get("model_args"))
     system.init_random(args.seed or 0)
     if ecfg.get("pretrained"):
         import torch

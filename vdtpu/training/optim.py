@@ -35,7 +35,13 @@ def parameter_group_of(path: tuple[str, ...]) -> str:
     """VD parameter groups: diffuser_<name>_<part> (ref vd.py:108-112).
 
     Our diffuser params are {<name>: {time_embed|data_blocks.*|context_blocks.*: ...}}.
+    With trainable context encoders the tree is {"diffuser": ..., "ctx": ...}
+    (harness.make_loss_fn ctx_encode_fn path) — ctx params group as ctx_<name>.
     """
+    if path[0] == "ctx":
+        return f"ctx_{path[1] if len(path) > 1 else 'all'}"
+    if path[0] == "diffuser" and len(path) > 1:
+        path = path[1:]
     name = path[0]
     head = path[1] if len(path) > 1 else ""
     if head.startswith("time_embed"):
