@@ -16,6 +16,10 @@ def _stub(name: str, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec: importlib.util.find_spec raises ValueError on
+    # in-sys.modules modules whose __spec__ is None (transformers probes
+    # torchvision availability that way)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

@@ -11,26 +11,136 @@ from vdtpu.data.tokenizers import (
 
 REF_VOCAB = "/root/reference/lib/model_zoo/optimus_models/vocab"
 
+# unicode/accents/CJK/control-char corpus (VERDICT round 1: tokenizers were
+# only ever tested on synthetic mini-vocabs and plain ASCII)
+CORPUS = [
+    "a photo of a cat sitting on the mat",
+    "unbelievable, transformers tokenize sub-words!",
+    "the quick brown fox 123 jumped.",
+    "Déjà vu — naïve café PROBLÈME!",
+    "日本語のテキストと中文字符 mixed with English",
+    "control\x00chars\x01and\ttabs\nnewlines\r",
+    "emoji 🦊 and math ∑∞ ≠ ±2",
+    "hyphen-ated e.g. Dr. Smith's 1,234.56 [bracket] (paren)",
+    "ALLCAPS MiXeD case Ünïcödé",
+    "   leading/trailing whitespace   ",
+    "ﬁligature ﬂow ǅ unusual_underscore x² Ⅻ roman",
+    "한국어 텍스트 and हिन्दी numerals ٣٤٥",
+]
+
 
 @pytest.mark.skipif(not os.path.exists(f"{REF_VOCAB}/bert-base-cased-vocab.txt"),
                     reason="reference vocab not mounted")
-def test_bert_wordpiece_vs_reference_tokenizer():
+@pytest.mark.parametrize("lower", [False, True])
+def test_bert_wordpiece_vs_reference_tokenizer(lower):
     from _reference import ref_module
     tb = ref_module("lib.model_zoo.optimus_models.tokenization_bert")
     ref = tb.BertTokenizer(f"{REF_VOCAB}/bert-base-cased-vocab.txt",
-                           do_lower_case=False)
+                           do_lower_case=lower)
     ours = BertWordPieceTokenizer(f"{REF_VOCAB}/bert-base-cased-vocab.txt",
-                                  do_lower_case=False)
-    for text in ["a photo of a cat sitting on the mat",
-                 "unbelievable, transformers tokenize sub-words!",
-                 "the quick brown fox 123 jumped."]:
-        text = text.lower()  # optimus encode lowercases (optimus.py:731)
+                                  do_lower_case=lower)
+    for text in CORPUS:
+        if not lower:
+            text = text.lower()  # optimus encode lowercases (optimus.py:731)
         ref_tokens = ref.tokenize(text)
-        assert ours.tokenize(text) == ref_tokens
+        assert ours.tokenize(text) == ref_tokens, text
         ref_ids = [ref._convert_token_to_id(t) for t in ref_tokens]
         ref_ids = ref.add_special_tokens_single_sentence(ref_ids)
-        ids = ours([text], max_length=77)[0]
+        ids = ours([text], max_length=512)[0]
         np.testing.assert_array_equal(ids[: len(ref_ids)], ref_ids)
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF_VOCAB}/gpt2-vocab.json"),
+                    reason="reference vocab not mounted")
+def test_gpt2_bpe_vs_reference_tokenizer():
+    """Byte-identical ids vs the reference's vendored GPT2Tokenizer on the
+    real 50k vocab/merges (tokenization_gpt2.py:129,171-186)."""
+    from _reference import ref_module
+    tg = ref_module("lib.model_zoo.optimus_models.tokenization_gpt2")
+    ref = tg.GPT2Tokenizer(f"{REF_VOCAB}/gpt2-vocab.json",
+                           f"{REF_VOCAB}/gpt2-merges.txt")
+    ours = GPT2BPETokenizer(f"{REF_VOCAB}/gpt2-vocab.json",
+                            f"{REF_VOCAB}/gpt2-merges.txt")
+    for text in CORPUS:
+        ref_ids = [ref._convert_token_to_id(t) for t in ref._tokenize(text)]
+        assert ours.encode(text) == ref_ids, text
+        assert ours.decode(ref_ids) == ref.decode(ref_ids)
+
+
+def _train_mini_bpe(corpus_words, n_merges=80):
+    """Tiny CLIP-style BPE trainer: produces a consistent (vocab, merges)
+    pair in HF CLIPTokenizer file format."""
+    b2u = bytes_to_unicode()
+    words = {}
+    for w in corpus_words:
+        sym = ["".join(b2u[b] for b in ch.encode("utf-8")) for ch in w]
+        sym[-1] += "</w>"
+        words[tuple(sym)] = words.get(tuple(sym), 0) + 1
+    vocab = {}
+    for c in b2u.values():
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, cnt in words.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] = pairs.get((w[i], w[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        best = max(sorted(pairs), key=lambda p: pairs[p])
+        merges.append(best)
+        new = best[0] + best[1]
+        if new not in vocab:
+            vocab[new] = len(vocab)
+        out = {}
+        for w, cnt in words.items():
+            lst, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    lst.append(new)
+                    i += 2
+                else:
+                    lst.append(w[i])
+                    i += 1
+            out[tuple(lst)] = out.get(tuple(lst), 0) + cnt
+        words = out
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    return vocab, merges
+
+
+def test_clip_tokenizer_vs_hf(tmp_path):
+    """Byte-identical ids vs HF transformers' CLIPTokenizer on a trained
+    mini-BPE vocab over the unicode corpus. The reference env ships ftfy
+    (via open_clip_torch), so HF's effective path is
+    whitespace_clean(fix_text(text)).lower() — forced here by giving the HF
+    tokenizer an identity fix_text."""
+    # direct module import: the top-level lazy loader probes torchvision,
+    # which is broken in this environment (__spec__ is None)
+    tc = pytest.importorskip("transformers.models.clip.tokenization_clip")
+    words = []
+    for line in CORPUS:
+        words += line.lower().split()
+    vocab, merges = _train_mini_bpe(words)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n",
+        encoding="utf-8")
+
+    hf = tc.CLIPTokenizer(str(tmp_path / "vocab.json"),
+                          str(tmp_path / "merges.txt"))
+    hf.fix_text = str  # identity ftfy (the reference env's branch)
+    ours = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+
+    for text in CORPUS:
+        ref_ids = [hf._convert_token_to_id(t) for t in hf._tokenize(text)]
+        ids = ours.encode(text)
+        assert ids == ref_ids, (text, ids, ref_ids)
+    # padded call convention: bos + ids + eos, eos-padded
+    batch = ours(CORPUS[:3], max_length=32)
+    assert batch.shape == (3, 32)
+    assert (batch[:, 0] == ours.bos).all()
 
 
 def test_gpt2_bpe_roundtrip(tmp_path):
@@ -48,9 +158,10 @@ def test_gpt2_bpe_roundtrip(tmp_path):
         f"{b2u[ord('l')]} {b2u[ord('l')]}\n")
     tok = GPT2BPETokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
     ids = tok.encode("hello hello")
-    assert tok.decode(ids) == "hello hello"
-    # merges actually applied: "he"+"ll"+"o" = 3 tokens for "hello"
-    assert len(tok.encode("hello")) == 3
+    # encode prepends one space (ref tokenization_gpt2.py:178)
+    assert tok.decode(ids) == " hello hello"
+    # merges actually applied: " "+"he"+"ll"+"o" = 4 tokens for "hello"
+    assert len(tok.encode("hello")) == 4
     assert tok.bos_id == 50258 and tok.eos_id == 50259 and tok.pad_id == 50257
 
 

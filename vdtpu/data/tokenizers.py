@@ -30,41 +30,94 @@ import numpy as np
 class BertWordPieceTokenizer:
     """Cased WordPiece (bert-base-cased vocab, 28996 entries).
 
-    Matches the reference pipeline used by Optimus encode
-    (`optimus.py:729-739`): basic whitespace+punct split, greedy
-    longest-match wordpieces, [CLS] ... [SEP] wrapping, pad id 0.
+    Byte-identical to the reference pipeline used by Optimus encode
+    (`optimus.py:729-739` over `tokenization_bert.py`): invalid-char /
+    control-char cleanup (`_clean_text`, :346-357), CJK-ideograph spacing
+    (:311-344), never_split specials, unicode-category punctuation split,
+    NFD accent stripping under lowercasing (:278-287), greedy longest-match
+    wordpieces (:360-417), [CLS] ... [SEP] wrapping, pad id 0.
     """
 
-    def __init__(self, vocab_file: str, do_lower_case: bool = False):
+    SPECIALS = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
+
+    def __init__(self, vocab_file: str, do_lower_case: bool = False,
+                 tokenize_chinese_chars: bool = True,
+                 never_split: Sequence[str] | None = None):
         self.vocab: dict[str, int] = {}
         with open(vocab_file, encoding="utf-8") as f:
             for i, line in enumerate(f):
                 self.vocab[line.rstrip("\n")] = i
         self.do_lower_case = do_lower_case
+        self.tokenize_chinese_chars = tokenize_chinese_chars
+        self.never_split = set(never_split or self.SPECIALS)
         self.unk = "[UNK]"
         self.cls_id = self.vocab["[CLS]"]
         self.sep_id = self.vocab["[SEP]"]
         self.pad_id = self.vocab.get("[PAD]", 0)
 
+    # -- basic tokenizer (tokenization_bert.py:224-357) --
+
     @staticmethod
-    def _basic_split(text: str) -> list[str]:
-        text = text.strip()
-        out, buf = [], []
+    def _clean_text(text: str) -> str:
+        out = []
         for ch in text:
-            if ch.isspace():
-                if buf:
-                    out.append("".join(buf))
-                    buf = []
-            elif _is_punct(ch):
-                if buf:
-                    out.append("".join(buf))
-                    buf = []
-                out.append(ch)
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            out.append(" " if _is_whitespace(ch) else ch)
+        return "".join(out)
+
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF) or
+                (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F) or
+                (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF) or
+                (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+    def _space_cjk(self, text: str) -> str:
+        out = []
+        for ch in text:
+            if self._is_cjk(ord(ch)):
+                out.extend((" ", ch, " "))
             else:
-                buf.append(ch)
-        if buf:
-            out.append("".join(buf))
-        return out
+                out.append(ch)
+        return "".join(out)
+
+    @staticmethod
+    def _strip_accents(text: str) -> str:
+        import unicodedata
+        return "".join(ch for ch in unicodedata.normalize("NFD", text)
+                       if unicodedata.category(ch) != "Mn")
+
+    @staticmethod
+    def _split_on_punc(text: str) -> list[str]:
+        chars = list(text)
+        out: list[list[str]] = []
+        start_new = True
+        for ch in chars:
+            if _is_punct(ch):
+                out.append([ch])
+                start_new = True
+            else:
+                if start_new:
+                    out.append([])
+                start_new = False
+                out[-1].append(ch)
+        return ["".join(x) for x in out]
+
+    def _basic_split(self, text: str) -> list[str]:
+        text = self._clean_text(text)
+        if self.tokenize_chinese_chars:
+            text = self._space_cjk(text)
+        split_tokens: list[str] = []
+        for token in text.strip().split():
+            if token in self.never_split:
+                split_tokens.append(token)
+                continue
+            if self.do_lower_case:
+                token = self._strip_accents(token.lower())
+            split_tokens.extend(self._split_on_punc(token))
+        return " ".join(split_tokens).strip().split()
 
     def _wordpiece(self, word: str) -> list[str]:
         if len(word) > 100:
@@ -88,11 +141,12 @@ class BertWordPieceTokenizer:
         return pieces
 
     def tokenize(self, text: str) -> list[str]:
-        if self.do_lower_case:
-            text = text.lower()
         out = []
         for word in self._basic_split(text):
-            out.extend(self._wordpiece(word))
+            if word in self.never_split:
+                out.append(word)
+            else:
+                out.extend(self._wordpiece(word))
         return out
 
     def __call__(self, texts: Sequence[str], max_length: int = 77) -> np.ndarray:
@@ -105,6 +159,20 @@ class BertWordPieceTokenizer:
             rows.append([self.cls_id] + ids + [self.sep_id])
         n = max(len(r) for r in rows)
         return np.array([r + [self.pad_id] * (n - len(r)) for r in rows], np.int32)
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    import unicodedata
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    import unicodedata
+    return unicodedata.category(ch).startswith("C")
 
 
 def _is_punct(ch: str) -> bool:
@@ -135,9 +203,11 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
-_GPT2_PAT = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\s\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
-    re.UNICODE)
+import regex  # unicode-category classes (\p{L}/\p{N}) — what the reference's
+# vendored tokenizers and HF both compile their patterns with
+
+_GPT2_PAT = regex.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
 
 
 class _BPE:
@@ -193,10 +263,14 @@ class GPT2BPETokenizer:
             self.encoder["<PAD>"], self.encoder["<BOS>"], self.encoder["<EOS>"])
 
     def encode(self, text: str) -> list[int]:
+        # the reference's vendored tokenizer prepends one space
+        # (tokenization_gpt2.py:178 "GPT-2 ... need at least one space")
+        text = " " + text
+        unk = self.encoder.get("<|endoftext|>")  # ref unk fallback (:188-190)
         ids = []
         for tok in _GPT2_PAT.findall(text):
             tok = "".join(self.byte_enc[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[p] for p in self.bpe(tok))
+            ids.extend(self.encoder.get(p, unk) for p in self.bpe(tok))
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
@@ -232,9 +306,12 @@ class CLIPTokenizer:
         self.bos = self.encoder["<|startoftext|>"]
         self.eos = self.encoder["<|endoftext|>"]
         self.cache: dict[str, list[str]] = {}
-        self.pat = re.compile(
+        # exact HF CLIPTokenizer pattern (tokenization_clip.py); the reference
+        # env has ftfy (via open_clip_torch), so its effective preprocessing
+        # is whitespace_clean + lower — replicated in encode()
+        self.pat = regex.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[^\s\w]|\d|[^\s\W\d_]+", re.IGNORECASE)
+            r"\p{L}+|\p{N}|[^\s\p{L}\p{N}]+", regex.IGNORECASE)
 
     def _bpe(self, token: str) -> list[str]:
         if token in self.cache:
@@ -260,10 +337,11 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> list[int]:
         text = re.sub(r"\s+", " ", text.strip()).lower()
+        unk = self.eos  # HF CLIP unk_token == <|endoftext|>
         ids = []
         for tok in self.pat.findall(text):
             tok = "".join(self.byte_enc[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[p] for p in self._bpe(tok))
+            ids.extend(self.encoder.get(p, unk) for p in self._bpe(tok))
         return ids
 
     def __call__(self, texts: Sequence[str], max_length: int = 77) -> np.ndarray:
