@@ -143,17 +143,43 @@ class ImageTextPipeline:
         self.num_threads = num_threads
         self.transform = transform
 
-    def _raw_samples(self, epoch: int) -> Iterator[tuple[np.ndarray, str]]:
+    def _byte_samples(self, epoch: int) -> Iterator[tuple[bytes, str]]:
         for shard in self.index.epoch_shards(epoch):
             for sample in tar_samples(shard):
                 img_bytes = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
                 if img_bytes is None:
                     continue
-                img = decode_image(img_bytes, self.image_size)
-                if img is None:
-                    continue
                 caption = (sample.get("txt") or b"").decode("utf-8", "replace")
-                yield img, caption
+                yield img_bytes, caption
+
+    def _raw_samples(self, epoch: int) -> Iterator[tuple[np.ndarray, str]]:
+        """Decode in a num_threads pool (PIL releases the GIL in decode/
+        resize, so threads scale); results are consumed in submission order,
+        so the sample stream is bit-identical to single-threaded decode."""
+        if self.num_threads <= 1:
+            for data, cap in self._byte_samples(epoch):
+                img = decode_image(data, self.image_size)
+                if img is not None:
+                    yield img, cap
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        max_inflight = self.num_threads * 4
+        with ThreadPoolExecutor(self.num_threads) as ex:
+            pending: deque = deque()
+            for data, cap in self._byte_samples(epoch):
+                pending.append(
+                    (ex.submit(decode_image, data, self.image_size), cap))
+                if len(pending) >= max_inflight:
+                    fut, c = pending.popleft()
+                    img = fut.result()
+                    if img is not None:
+                        yield img, c
+            while pending:
+                fut, c = pending.popleft()
+                img = fut.result()
+                if img is not None:
+                    yield img, c
 
     def _shuffled(self, epoch: int) -> Iterator[tuple[np.ndarray, str]]:
         rng = np.random.RandomState(self.index.seed + 97 * epoch)
