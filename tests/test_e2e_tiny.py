@@ -15,19 +15,8 @@ from vdtpu.serving.api import VDInference, VDSystem
 
 @pytest.fixture(scope="module")
 def vdi():
-    sys = VDSystem("vd_test_tiny").init_random(0, image_size=64)
-
-    def fake_tokenizer(texts, max_length=16):
-        rows = []
-        for t in texts:
-            ids = [min(999, 2 + (hash(w) % 900)) for w in t.split()][: max_length - 2]
-            rows.append([1] + ids + [999] + [999] * (max_length - 2 - len(ids)))
-        return np.array(rows, np.int32)
-
-    return VDInference(
-        sys, text_tokenizer=fake_tokenizer, output_dim=(64, 64),
-        ddim_steps=4, n_sample_image=2, n_sample_text=2,
-        image_latent_dim=4, text_latent_dim=96, latent_downsample=2)
+    from _tiny import make_tiny_vdi
+    return make_tiny_vdi()
 
 
 def test_t2i(vdi):
