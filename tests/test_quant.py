@@ -1,0 +1,99 @@
+"""int8 serving path: param-tree compatibility + output fidelity."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vdtpu.ops import quant
+
+TINY_CFG = {"args": {
+    "diffuser_cfg_list": [
+        ["image", {"type": "openai_unet_2d_next", "args": dict(
+            in_channels=4, model_channels=32, out_channels=4,
+            num_res_blocks=[1, 1], attention_resolutions=[1, 2],
+            channel_mult=[1, 2], num_heads=4, context_dim=16)}],
+        ["text", {"type": "openai_unet_0d_next", "args": dict(
+            input_channels=24, model_channels=32, output_channels=24,
+            num_noattn_blocks=[1, 1], channel_mult=[1, 2], second_dim=[4, 4],
+            with_attn=[True, True], num_heads=4, context_dim=16)}],
+    ],
+    "global_layer_ptr": "image", "timesteps": 100,
+    "beta_linear_start": 0.00085, "beta_linear_end": 0.012,
+}}
+
+
+@pytest.fixture(autouse=True)
+def _restore_policy():
+    yield
+    quant.set_policy(None)
+
+
+def _models():
+    from vdtpu.models.vd import VDModel
+    quant.set_policy(None)
+    m_f = VDModel.from_config(TINY_CFG)
+    quant.set_policy("int8")
+    m_q = VDModel.from_config(TINY_CFG)
+    return m_f, m_q
+
+
+def test_param_tree_identical_across_policies():
+    m_f, m_q = _models()
+    quant.set_policy(None)
+    p_f = m_f.init_params(jax.random.PRNGKey(0))
+    quant.set_policy("int8")
+    p_q = m_q.init_params(jax.random.PRNGKey(0))
+    sf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), p_f)
+    sq = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), p_q)
+    assert sf == sq  # checkpoints trained in f32 load straight into int8 serving
+
+
+def _fill_zero_leaves(params, key, std=0.02):
+    """Zero-init output convs make the fresh-init UNet output identically 0
+    (vacuous comparisons); give every zero leaf random values."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    out = []
+    for i, l in enumerate(leaves):
+        if float(jnp.abs(l).max()) == 0.0:
+            l = jax.random.normal(jax.random.fold_in(key, i), l.shape,
+                                  l.dtype) * std
+        out.append(l)
+    return treedef.unflatten(out)
+
+
+def test_int8_outputs_track_f32():
+    m_f, m_q = _models()
+    quant.set_policy(None)
+    params = _fill_zero_leaves(m_f.init_params(jax.random.PRNGKey(0)),
+                               jax.random.PRNGKey(7))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 4).astype(np.float32))
+    t = jnp.asarray([3, 70])
+    ctx = jnp.asarray(rs.randn(2, 7, 16).astype(np.float32))
+    ref = np.asarray(m_f.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    quant.set_policy("int8")
+    out = np.asarray(m_q.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.995, cos
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_quant_primitives_roundtrip():
+    from vdtpu.ops.quant import _quantize_act, _quantize_weight
+    rs = np.random.RandomState(1)
+    w = jnp.asarray(rs.randn(3, 3, 8, 16).astype(np.float32))
+    wq, s = _quantize_weight(w, (0, 1, 2))
+    assert wq.dtype == jnp.int8 and s.shape == (1, 1, 1, 16)
+    back = np.asarray(wq, np.float32) * np.asarray(s)
+    assert np.abs(back - np.asarray(w)).max() < np.asarray(s).max() * 0.51
+    x = jnp.asarray(rs.randn(4, 5).astype(np.float32))
+    xq, sx = _quantize_act(x)
+    assert np.abs(np.asarray(xq, np.float32) * float(sx) - np.asarray(x)).max() \
+        <= float(sx) * 0.51
+    # zero tensors don't divide by zero
+    zq, zs = _quantize_weight(jnp.zeros((3, 3, 4, 4)), (0, 1, 2))
+    assert np.all(np.asarray(zq) == 0) and np.isfinite(float(zs.max()))

@@ -11,7 +11,7 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from _reference import ref_module  # noqa: E402
+from _reference import derandomize_zeros, ref_module  # noqa: E402
 from vdtpu.interop.torch_convert import torch_to_flax  # noqa: E402
 from vdtpu.models.unet import UNet0DNext, UNet2DNext  # noqa: E402
 
@@ -79,7 +79,7 @@ def test_2d_0d_program_alignment():
 
 def test_unet2d_parity(ref_om):
     torch.manual_seed(0)
-    tm = ref_om.UNetModel2D_Next(**SMALL_2D).eval()
+    tm = derandomize_zeros(ref_om.UNetModel2D_Next(**SMALL_2D).eval())
     sd = tm.state_dict()
 
     ours = UNet2DNext(**SMALL_2D)
@@ -101,7 +101,7 @@ def test_unet2d_parity(ref_om):
 
 def test_unet0d_parity(ref_om):
     torch.manual_seed(1)
-    tm = ref_om.UNetModel0D_Next(**SMALL_0D).eval()
+    tm = derandomize_zeros(ref_om.UNetModel0D_Next(**SMALL_0D).eval())
     sd = tm.state_dict()
 
     ours = UNet0DNext(**SMALL_0D)

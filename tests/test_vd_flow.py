@@ -7,7 +7,7 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from _reference import ref_module  # noqa: E402
+from _reference import derandomize_zeros, ref_module  # noqa: E402
 from vdtpu.interop.torch_convert import torch_to_flax  # noqa: E402
 from vdtpu.models.vd import MultiDiffuser  # noqa: E402
 
@@ -30,8 +30,8 @@ DIFF_CFGS = (
 def ref_pair():
     om = ref_module("lib.model_zoo.openaimodel")
     torch.manual_seed(0)
-    tm2 = om.UNetModel2D_Next(**SMALL_2D).eval()
-    tm0 = om.UNetModel0D_Next(**SMALL_0D).eval()
+    tm2 = derandomize_zeros(om.UNetModel2D_Next(**SMALL_2D).eval())
+    tm0 = derandomize_zeros(om.UNetModel0D_Next(**SMALL_0D).eval(), seed=1)
     assert tm2.layer_order == tm0.layer_order
     return om, tm2, tm0
 

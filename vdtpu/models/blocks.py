@@ -28,7 +28,8 @@ class ResBlock2D(nn.Module):
     def __call__(self, x, emb, deterministic: bool = True):
         h = group_norm("in_layers.0")(x).astype(self.dtype)
         h = conv3(self.out_channels, "in_layers.2", self.dtype)(silu(h))
-        e = dense(self.out_channels, "emb_layers.1", self.dtype)(silu(emb.astype(self.dtype)))
+        e = dense(self.out_channels, "emb_layers.1", self.dtype,
+                  quant=False)(silu(emb.astype(self.dtype)))
         h = h + e[:, None, None, :]
         h = group_norm("out_layers.0")(h).astype(self.dtype)
         h = silu(h)
@@ -57,7 +58,8 @@ class FCBlock(nn.Module):
     def __call__(self, x, emb):
         h = group_norm("in_layers.0")(x).astype(self.dtype)
         h = dense(self.out_channels, "in_layers.2", self.dtype)(silu(h))
-        e = dense(self.out_channels, "emb_layers.1", self.dtype)(silu(emb.astype(self.dtype)))
+        e = dense(self.out_channels, "emb_layers.1", self.dtype,
+                  quant=False)(silu(emb.astype(self.dtype)))
         h = h + e
         h = group_norm("out_layers.0")(h).astype(self.dtype)
         h = dense(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(silu(h))

@@ -27,8 +27,16 @@ def group_norm(name: str, groups: int = 32, eps: float = 1e-5) -> nn.GroupNorm:
     return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=_NORM_DTYPE, name=name)
 
 
-def conv3(features: int, name: str, dtype: Dtype, zero_init: bool = False, stride: int = 1) -> nn.Conv:
+def conv3(features: int, name: str, dtype: Dtype, zero_init: bool = False,
+          stride: int = 1, quant: bool = True) -> nn.Module:
+    """3x3 conv; under the int8 serving policy (vdtpu.ops.quant.set_policy)
+    it becomes a param-compatible int8 QConv unless quant=False."""
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    from vdtpu.ops.quant import QConv, get_policy
+    if quant and get_policy() == "int8":
+        return QConv(features, (3, 3), strides=(stride, stride),
+                     padding=((1, 1), (1, 1)), kernel_init=init,
+                     dtype=dtype, name=name)
     return nn.Conv(
         features, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
         kernel_init=init, bias_init=nn.initializers.zeros,
@@ -36,8 +44,12 @@ def conv3(features: int, name: str, dtype: Dtype, zero_init: bool = False, strid
 
 
 def dense(features: int, name: str, dtype: Dtype, zero_init: bool = False,
-          use_bias: bool = True) -> nn.Dense:
+          use_bias: bool = True, quant: bool = True) -> nn.Module:
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    from vdtpu.ops.quant import QDense, get_policy
+    if quant and get_policy() == "int8":
+        return QDense(features, use_bias=use_bias, kernel_init=init,
+                      dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, kernel_init=init, dtype=dtype, name=name)
 
 
@@ -55,8 +67,10 @@ class TimeEmbedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, t_emb):
-        h = dense(self.dim, "0", self.dtype)(t_emb.astype(self.dtype))
-        return dense(self.dim, "2", self.dtype)(silu(h))
+        # quant=False: runs once per step and feeds every FiLM scale —
+        # negligible compute, quality-critical
+        h = dense(self.dim, "0", self.dtype, quant=False)(t_emb.astype(self.dtype))
+        return dense(self.dim, "2", self.dtype, quant=False)(silu(h))
 
 
 class Upsample2D(nn.Module):
