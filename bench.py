@@ -24,15 +24,23 @@ A100_REFERENCE_IMGS_PER_SEC = 0.85
 
 
 def main():
+    import os
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from vdtpu.config.bank import model_cfg_bank
     from vdtpu.models.vd import VDModel
+    from vdtpu.ops import quant
     from vdtpu.sampling.ddim import DDIMTables, cfg_eps_fn, ddim_scan
     from vdtpu.models.autoencoder import AutoencoderKL
     from vdtpu.config.registry import build
+
+    # serving policy: calibrated int8 diffuser (10% faster step, eps cosine
+    # > 0.99 vs bf16 — tests/test_quant.py); VDTPU_BENCH_POLICY=none for bf16
+    policy = os.environ.get("VDTPU_BENCH_POLICY", "int8")
+    quant.set_policy(None if policy == "none" else policy)
 
     dtype = jnp.bfloat16
     n_samples, steps = 2, 50
@@ -54,6 +62,22 @@ def main():
     jax.block_until_ready(params)
     log(f"diffuser params {time.perf_counter() - t0:.1f}s")
 
+    if policy != "none":
+        t0 = time.perf_counter()
+        flows = []
+        for i, tt in enumerate((0, 250, 500, 750, 999)):
+            flows.append((
+                jax.random.normal(jax.random.fold_in(key, 1000 + i),
+                                  (2 * n_samples, 64, 64, 4), dtype),
+                jnp.full((2 * n_samples,), tt, jnp.int32),
+                jax.random.normal(jax.random.fold_in(key, 2000 + i),
+                                  (2 * n_samples, 77, 768), dtype) * 0.5,
+                "image", "text"))
+        quant.calibrate(model, params, flows)
+        log(f"int8 calibration {time.perf_counter() - t0:.1f}s")
+
+    # VAE decode stays bf16: its conv3 call sites pass quant=False (the
+    # policy is read at trace time, so it must stay active for the t2i jit)
     vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
     vae = build(vae_cfg, dtype=dtype)
     t0 = time.perf_counter()

@@ -82,6 +82,36 @@ def test_int8_outputs_track_f32():
     assert rel < 0.2, rel
 
 
+def test_calibrated_static_scales():
+    """calibrate() records per-site activation scales; serving with the
+    static scales stays faithful on data in the calibration range."""
+    m_f, m_q = _models()
+    quant.set_policy(None)
+    params = _fill_zero_leaves(m_f.init_params(jax.random.PRNGKey(0)),
+                               jax.random.PRNGKey(7))
+    rs = np.random.RandomState(3)
+    mk = lambda seed: (
+        jnp.asarray(np.random.RandomState(seed).randn(2, 8, 8, 4).astype(np.float32)),
+        jnp.asarray([seed % 100, (seed * 7) % 100]),
+        jnp.asarray(np.random.RandomState(seed + 1).randn(2, 7, 16).astype(np.float32)))
+
+    quant.set_policy("int8")
+    flows = [(x, t, ctx, "image", "text") for x, t, ctx in map(mk, (0, 10, 20))]
+    scales = quant.calibrate(m_q, params, flows)
+    flat = jax.tree_util.tree_leaves(scales)
+    assert len(flat) > 10 and all(float(s) > 0 for s in flat)
+    assert m_q.quant_scales is scales
+
+    x, t, ctx = mk(30)  # held-out batch
+    ref = np.asarray(m_f.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    out = np.asarray(m_q.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.99, cos
+    m_q.quant_scales = None
+
+
 def test_quant_primitives_roundtrip():
     from vdtpu.ops.quant import _quantize_act, _quantize_weight
     rs = np.random.RandomState(1)

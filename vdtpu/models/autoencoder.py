@@ -36,9 +36,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = group_norm("norm1", eps=1e-6)(x).astype(self.dtype)
-        h = conv3(self.out_channels, "conv1", self.dtype)(_swish(h))
+        h = conv3(self.out_channels, "conv1", self.dtype, quant=False)(_swish(h))
         h = group_norm("norm2", eps=1e-6)(h).astype(self.dtype)
-        h = conv3(self.out_channels, "conv2", self.dtype)(_swish(h))
+        h = conv3(self.out_channels, "conv2", self.dtype, quant=False)(_swish(h))
         if self.in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -81,7 +81,7 @@ class _Up(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return conv3(self.channels, "conv", self.dtype)(x)
+        return conv3(self.channels, "conv", self.dtype, quant=False)(x)
 
 
 class VAEEncoder(nn.Module):
@@ -100,7 +100,7 @@ class VAEEncoder(nn.Module):
     def __call__(self, x):
         num_res = len(self.ch_mult)
         curr_res = self.resolution
-        h = conv3(self.ch, "conv_in", self.dtype)(x)
+        h = conv3(self.ch, "conv_in", self.dtype, quant=False)(x)
         block_in = self.ch
         for i_level in range(num_res):
             block_out = self.ch * self.ch_mult[i_level]
@@ -119,7 +119,7 @@ class VAEEncoder(nn.Module):
         h = VAEResnetBlock(block_in, block_in, self.dtype, name="mid.block_2")(h)
         h = group_norm("norm_out", eps=1e-6)(h).astype(self.dtype)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        return conv3(out_ch, "conv_out", self.dtype)(_swish(h))
+        return conv3(out_ch, "conv_out", self.dtype, quant=False)(_swish(h))
 
 
 class VAEDecoder(nn.Module):
@@ -138,7 +138,7 @@ class VAEDecoder(nn.Module):
         num_res = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_res - 1]
         curr_res = self.resolution // 2 ** (num_res - 1)
-        h = conv3(block_in, "conv_in", self.dtype)(z)
+        h = conv3(block_in, "conv_in", self.dtype, quant=False)(z)
         h = VAEResnetBlock(block_in, block_in, self.dtype, name="mid.block_1")(h)
         h = VAEAttnBlock(block_in, self.dtype, name="mid.attn_1")(h)
         h = VAEResnetBlock(block_in, block_in, self.dtype, name="mid.block_2")(h)
@@ -155,7 +155,7 @@ class VAEDecoder(nn.Module):
                 h = _Up(block_in, self.dtype, name=f"up.{i_level}.upsample")(h)
                 curr_res *= 2
         h = group_norm("norm_out", eps=1e-6)(h).astype(self.dtype)
-        return conv3(self.out_ch, "conv_out", self.dtype)(_swish(h))
+        return conv3(self.out_ch, "conv_out", self.dtype, quant=False)(_swish(h))
 
 
 @register("autoencoderkl")

@@ -14,7 +14,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vdtpu.models.layers import Dtype, conv3, dense, group_norm, silu
+from vdtpu.models.layers import (
+    Dtype, FusedGNSiLU, conv3, dense, group_norm, silu)
 
 
 class ResBlock2D(nn.Module):
@@ -24,15 +25,21 @@ class ResBlock2D(nn.Module):
     dtype: Dtype = jnp.float32
     dropout: float = 0.0
 
+    def _gn_silu(self, x, name: str):
+        """GN+SiLU; both branches share the {scale, bias} param path."""
+        import os
+        if os.environ.get("VDTPU_FUSED_GN"):
+            return FusedGNSiLU(dtype=self.dtype, name=name)(x)
+        return silu(group_norm(name)(x).astype(self.dtype))
+
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
-        h = group_norm("in_layers.0")(x).astype(self.dtype)
-        h = conv3(self.out_channels, "in_layers.2", self.dtype)(silu(h))
+        h = self._gn_silu(x, "in_layers.0")
+        h = conv3(self.out_channels, "in_layers.2", self.dtype)(h)
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
         h = h + e[:, None, None, :]
-        h = group_norm("out_layers.0")(h).astype(self.dtype)
-        h = silu(h)
+        h = self._gn_silu(h, "out_layers.0")
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(h)

@@ -33,7 +33,7 @@ def conv3(features: int, name: str, dtype: Dtype, zero_init: bool = False,
     it becomes a param-compatible int8 QConv unless quant=False."""
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     from vdtpu.ops.quant import QConv, get_policy
-    if quant and get_policy() == "int8":
+    if quant and get_policy() in ("int8", "int8_calib"):
         return QConv(features, (3, 3), strides=(stride, stride),
                      padding=((1, 1), (1, 1)), kernel_init=init,
                      dtype=dtype, name=name)
@@ -47,7 +47,7 @@ def dense(features: int, name: str, dtype: Dtype, zero_init: bool = False,
           use_bias: bool = True, quant: bool = True) -> nn.Module:
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     from vdtpu.ops.quant import QDense, get_policy
-    if quant and get_policy() == "int8":
+    if quant and get_policy() in ("int8", "int8_calib"):
         return QDense(features, use_bias=use_bias, kernel_init=init,
                       dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, kernel_init=init, dtype=dtype, name=name)
@@ -55,6 +55,29 @@ def dense(features: int, name: str, dtype: Dtype, zero_init: bool = False,
 
 def silu(x):
     return nn.silu(x)
+
+
+class FusedGNSiLU(nn.Module):
+    """Single-pass Pallas GroupNorm(+SiLU) with nn.GroupNorm-compatible
+    param names (vdtpu/ops/pallas/gn_silu.py).
+
+    MEASURED NEGATIVE on v5e for the UNet step (44.6 vs 43.2 ms: XLA's
+    producer/consumer fusion around the norm beats a hard kernel boundary,
+    PERF.md round 2) — kept as an opt-in (VDTPU_FUSED_GN=1) for other
+    backends/shapes; model code defaults to group_norm + silu."""
+    with_silu: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from vdtpu.ops.pallas.gn_silu import gn_silu
+        return gn_silu(x, scale, bias, self.groups, self.eps,
+                       self.with_silu).astype(self.dtype)
 
 
 class TimeEmbedMLP(nn.Module):

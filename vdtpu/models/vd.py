@@ -144,6 +144,9 @@ class VDModel:
     learn_logvar: bool = False
     logvar_init: float = 0.0
     use_ema: bool = False
+    # calibrated int8 activation scales ('quant' collection); set by
+    # vdtpu.ops.quant.calibrate under the int8 serving policy
+    quant_scales: Any = None
 
     # ---- construction ----
 
@@ -209,10 +212,15 @@ class VDModel:
     # ---- inference ----
 
     def apply_model(self, params, x, timesteps, context, x_type: str, c_type: str):
-        params = self._diffuser_params(params)
         return self.diffuser.apply(
-            {"params": params}, x, timesteps, context, x_type, c_type,
+            self._variables(params), x, timesteps, context, x_type, c_type,
             method=MultiDiffuser.apply_flow)
+
+    def _variables(self, params):
+        v = {"params": self._diffuser_params(params)}
+        if self.quant_scales is not None:
+            v["quant"] = self.quant_scales
+        return v
 
     @staticmethod
     def _diffuser_params(params):
@@ -226,7 +234,7 @@ class VDModel:
                                  mixing_type: str = "attention",
                                  layer_choices=None):
         return self.diffuser.apply(
-            {"params": self._diffuser_params(params)}, x, timesteps, contexts,
+            self._variables(params), x, timesteps, contexts,
             ratios, x_type, c_types, mixing_type, layer_choices,
             method=MultiDiffuser.apply_flow_multicontext)
 

@@ -1,0 +1,153 @@
+"""Fused GroupNorm(+SiLU) Pallas TPU kernel.
+
+The reference's `normalization` (GroupNorm32, diffusion_utils.py:205-221)
+runs before nearly every conv; under XLA this costs separate
+convert/reduce/multiply passes over the activation (~10% of the UNet step,
+PERF.md). This kernel does the whole thing in ONE read + ONE write per
+activation: f32 statistics in VMEM via two tiny indicator matmuls (channel
+sums -> group sums on the MXU), normalize + affine + optional SiLU, write
+back in the compute dtype.
+
+Group statistics use E[x^2] - E[x]^2 in f32 over the (N, C/G) slab; parity
+vs nn.GroupNorm is tested to 1e-3 in bf16 and 1e-5 in f32.
+
+Backward: custom_vjp recomputes through the jnp reference implementation
+(the kernel is a pure speedup, not a numerics change), so the fused path is
+safe under jax.grad (training) too.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# one f32 + in/out copies of the [N, C] slab must fit VMEM (~16 MB/core)
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _ref_gn_silu(x, scale, bias, groups: int, eps: float, with_silu: bool):
+    """jnp reference (identical math to nn.GroupNorm + silu): x [B, N, C]."""
+    b, n, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, n, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, n, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _kernel(x_ref, sc_ref, b_ref, ind_ref, indt_ref, o_ref, *,
+            eps: float, with_silu: bool, cpg: int):
+    xf = x_ref[0].astype(jnp.float32)                       # [N, C]
+    n = xf.shape[0]
+    colsum = jnp.sum(xf, axis=0, keepdims=True)             # [1, C]
+    sqsum = jnp.sum(xf * xf, axis=0, keepdims=True)         # [1, C]
+    ind = ind_ref[...]                                      # [C, G]
+    gsum = jax.lax.dot(colsum, ind)                         # [1, G]
+    gsq = jax.lax.dot(sqsum, ind)
+    cnt = float(n * cpg)
+    mean_g = gsum / cnt
+    var_g = gsq / cnt - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    indt = indt_ref[...]                                    # [G, C]
+    mean_c = jax.lax.dot(mean_g, indt)                      # [1, C]
+    rstd_c = jax.lax.dot(rstd_g, indt)
+    y = (xf - mean_c) * rstd_c * sc_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _indicators_np(c: int, groups: int):
+    ind = np.zeros((c, groups), np.float32)
+    ind[np.arange(c), np.arange(c) // (c // groups)] = 1.0
+    return ind, ind.T.copy()
+
+
+def _indicators(c: int, groups: int):
+    # numpy cached; jnp constants created fresh per trace (device arrays
+    # cached across jits become leaked tracers)
+    ind, indt = _indicators_np(c, groups)
+    return jnp.asarray(ind), jnp.asarray(indt)
+
+
+def _fused_impl(x, scale, bias, groups: int, eps: float, with_silu: bool,
+                interpret: bool):
+    b, n, c = x.shape
+    ind, indt = _indicators(c, groups)
+    kern = functools.partial(_kernel, eps=eps, with_silu=with_silu,
+                             cpg=c // groups)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c), ind, indt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_silu(x, scale, bias, groups, eps, with_silu, interpret):
+    return _fused_impl(x, scale, bias, groups, eps, with_silu, interpret)
+
+
+def _gn_silu_fwd(x, scale, bias, groups, eps, with_silu, interpret):
+    return _gn_silu(x, scale, bias, groups, eps, with_silu, interpret), \
+        (x, scale, bias)
+
+
+def _gn_silu_bwd(groups, eps, with_silu, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _ref_gn_silu(x_, s_, b_, groups, eps, with_silu),
+        x, scale, bias)
+    return vjp(g)
+
+
+_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def eligible(shape, dtype) -> bool:
+    """The fused kernel loads a whole [N, C] slab per batch item."""
+    n = int(np.prod(shape[1:-1]))
+    c = shape[-1]
+    itemsize = jnp.dtype(dtype).itemsize
+    return (jax.default_backend() == "tpu"
+            and n * c * (4 + 2 * itemsize) <= _VMEM_BUDGET_BYTES
+            and n % 8 == 0 and c % 8 == 0)
+
+
+def gn_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+            with_silu: bool = True, interpret: bool = False):
+    """GroupNorm(+SiLU) over the channel-last axis of [B, ..., C].
+
+    Uses the fused Pallas kernel on TPU for slab sizes that fit VMEM, the
+    jnp reference otherwise (CPU tests, VAE-sized activations).
+    """
+    shape = x.shape
+    c = shape[-1]
+    xr = x.reshape(shape[0], -1, c)
+    if interpret or eligible(shape, x.dtype):
+        y = _gn_silu(xr, scale, bias, groups, eps, with_silu, interpret)
+    else:
+        y = _ref_gn_silu(xr, scale, bias, groups, eps, with_silu)
+    return y.reshape(shape)
