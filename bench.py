@@ -73,7 +73,9 @@ def main():
                 jax.random.normal(jax.random.fold_in(key, 2000 + i),
                                   (2 * n_samples, 77, 768), dtype) * 0.5,
                 "image", "text"))
-        quant.calibrate(model, params, flows)
+        scales = quant.calibrate(model, params, flows)
+        model.quant_scales = None  # thread as a jit argument, not a constant
+        params = {"params": params, "quant": scales}
         log(f"int8 calibration {time.perf_counter() - t0:.1f}s")
 
     # VAE decode stays bf16: its conv3 call sites pass quant=False (the

@@ -98,8 +98,12 @@ def test_calibrated_static_scales():
     quant.set_policy("int8")
     flows = [(x, t, ctx, "image", "text") for x, t, ctx in map(mk, (0, 10, 20))]
     scales = quant.calibrate(m_q, params, flows)
-    flat = jax.tree_util.tree_leaves(scales)
-    assert len(flat) > 10 and all(float(s) > 0 for s in flat)
+    flat = jax.tree_util.tree_leaves_with_path(scales)
+    acts = [l for p, l in flat if "act_scale" in jax.tree_util.keystr(p)]
+    wqs = [l for p, l in flat if "w_q" in jax.tree_util.keystr(p)]
+    assert len(acts) > 10 and all(float(s) > 0 for s in acts)
+    # int8 weight tables materialized for every calibrated site
+    assert len(wqs) == len(acts) and all(w.dtype == jnp.int8 for w in wqs)
     assert m_q.quant_scales is scales
 
     x, t, ctx = mk(30)  # held-out batch

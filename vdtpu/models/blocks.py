@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vdtpu.models.layers import (
-    Dtype, FusedGNSiLU, conv3, dense, group_norm, silu)
+    Dtype, FusedGNSiLU, GNParams, conv3, dense, group_norm, silu)
 
 
 class ResBlock2D(nn.Module):
@@ -32,17 +32,31 @@ class ResBlock2D(nn.Module):
             return FusedGNSiLU(dtype=self.dtype, name=name)(x)
         return silu(group_norm(name)(x).astype(self.dtype))
 
+    def _gn_conv(self, x, gn_name: str, conv_name: str, zero_init=False):
+        """GN+SiLU -> conv3. NOTE: handing the prologue to QConv as a fused
+        Pallas GN+SiLU+quantize pass (quant._act_with_prologue) measured
+        NEGATIVE on v5e — the custom-calls in the scan body disrupt XLA's
+        conv fusions (62 vs 38.6 ms/step, PERF.md r2) — so both policies
+        use the XLA prologue; the fused path stays available for QConv
+        callers on other backends via the gn= argument."""
+        h = self._gn_silu(x, gn_name)
+        return conv3(self.out_channels, conv_name, self.dtype,
+                     zero_init=zero_init)(h)
+
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
-        h = self._gn_silu(x, "in_layers.0")
-        h = conv3(self.out_channels, "in_layers.2", self.dtype)(h)
+        h = self._gn_conv(x, "in_layers.0", "in_layers.2")
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
         h = h + e[:, None, None, :]
-        h = self._gn_silu(h, "out_layers.0")
         if self.dropout > 0.0:
+            h = self._gn_silu(h, "out_layers.0")
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(h)
+            h = conv3(self.out_channels, "out_layers.3", self.dtype,
+                      zero_init=True)(h)
+        else:
+            h = self._gn_conv(h, "out_layers.0", "out_layers.3",
+                              zero_init=True)
         if self.out_channels == self.channels:
             skip = x
         else:

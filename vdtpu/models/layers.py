@@ -57,6 +57,18 @@ def silu(x):
     return nn.silu(x)
 
 
+class GNParams(nn.Module):
+    """Parameter-only GroupNorm holder: owns {scale, bias} at its mount
+    point while the computation happens fused inside a downstream
+    QConv/QDense prologue (vdtpu.ops.quant._act_with_prologue)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class FusedGNSiLU(nn.Module):
     """Single-pass Pallas GroupNorm(+SiLU) with nn.GroupNorm-compatible
     param names (vdtpu/ops/pallas/gn_silu.py).

@@ -217,6 +217,12 @@ class VDModel:
             method=MultiDiffuser.apply_flow)
 
     def _variables(self, params):
+        # "packed params" {"params": tree, "quant": scales} thread the int8
+        # tables as jit ARGUMENTS (as closure constants they become HLO
+        # literals — ~0.9 GB of them stalled compilation, PERF.md r2)
+        if isinstance(params, dict) and "quant" in params and "params" in params:
+            return {"params": self._diffuser_params(params["params"]),
+                    "quant": params["quant"]}
         v = {"params": self._diffuser_params(params)}
         if self.quant_scales is not None:
             v["quant"] = self.quant_scales

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # one f32 + in/out copies of the [N, C] slab must fit VMEM (~16 MB/core)
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _ref_gn_silu(x, scale, bias, groups: int, eps: float, with_silu: bool):
@@ -126,14 +126,80 @@ def _gn_silu_bwd(groups, eps, with_silu, interpret, res, g):
 _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
-def eligible(shape, dtype) -> bool:
+def eligible(shape, dtype, out_itemsize: int | None = None) -> bool:
     """The fused kernel loads a whole [N, C] slab per batch item."""
     n = int(np.prod(shape[1:-1]))
     c = shape[-1]
     itemsize = jnp.dtype(dtype).itemsize
+    out_itemsize = itemsize if out_itemsize is None else out_itemsize
     return (jax.default_backend() == "tpu"
-            and n * c * (4 + 2 * itemsize) <= _VMEM_BUDGET_BYTES
+            and n * c * (4 + itemsize + out_itemsize) <= _VMEM_BUDGET_BYTES
             and n % 8 == 0 and c % 8 == 0)
+
+
+def _kernel_q(x_ref, sc_ref, b_ref, ind_ref, indt_ref, sact_ref, o_ref, *,
+              eps: float, with_silu: bool, cpg: int):
+    """GN(+SiLU) fused with static-scale int8 quantization: the UNet's
+    conv prologue in ONE pass (feeds vdtpu.ops.quant.QConv/QDense — the
+    separate quantize pass costs ~4 ms/step, PERF.md round 2)."""
+    xf = x_ref[0].astype(jnp.float32)
+    n = xf.shape[0]
+    colsum = jnp.sum(xf, axis=0, keepdims=True)
+    sqsum = jnp.sum(xf * xf, axis=0, keepdims=True)
+    ind = ind_ref[...]
+    gsum = jax.lax.dot(colsum, ind)
+    gsq = jax.lax.dot(sqsum, ind)
+    cnt = float(n * cpg)
+    mean_g = gsum / cnt
+    var_g = gsq / cnt - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    indt = indt_ref[...]
+    mean_c = jax.lax.dot(mean_g, indt)
+    rstd_c = jax.lax.dot(rstd_g, indt)
+    y = (xf - mean_c) * rstd_c * sc_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    inv = 1.0 / sact_ref[0]
+    o_ref[0] = jnp.clip(jnp.round(y * inv), -127, 127).astype(jnp.int8)
+
+
+def gn_silu_q(x, scale, bias, s_act, groups: int = 32, eps: float = 1e-5,
+              with_silu: bool = True, interpret: bool = False):
+    """Fused GN(+SiLU)+int8-quantize; returns int8 of x's shape.
+
+    s_act: static (calibrated) per-tensor activation scale, scalar array.
+    Serving-only (no vjp). Caller must check `eligible(x.shape, x.dtype)`
+    or pass interpret=True.
+    """
+    shape = x.shape
+    c = shape[-1]
+    xr = x.reshape(shape[0], -1, c)
+    b, n, _ = xr.shape
+    ind, indt = _indicators(c, groups)
+    kern = functools.partial(_kernel_q, eps=eps, with_silu=with_silu,
+                             cpg=c // groups)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, jnp.int8),
+        interpret=interpret,
+    )(xr, scale.reshape(1, c), bias.reshape(1, c), ind, indt,
+      s_act.reshape(1).astype(jnp.float32))
+    return out.reshape(shape)
 
 
 def gn_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,

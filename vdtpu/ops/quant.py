@@ -77,6 +77,40 @@ class _QBase(nn.Module):
             return _quantize_act(x, s)
         return _quantize_act(x)
 
+    def _weights(self, kernel, reduce_axes):
+        """int8 weights: precomputed tables from the quant collection when
+        present (calibrate() materializes them — in-graph quantization
+        inside the sampling scan is NOT reliably hoisted once Pallas
+        custom-calls appear in the loop body: 63 vs 38 ms/step, PERF.md r2),
+        else quantized in-graph (XLA hoists it in pure-XLA loops)."""
+        if self.has_variable("quant", "w_q"):
+            return (self.get_variable("quant", "w_q"),
+                    self.get_variable("quant", "w_scale"))
+        return _quantize_weight(kernel, reduce_axes)
+
+    def _act_with_prologue(self, x, gn):
+        """GN(+SiLU) prologue fused with this site's quantization.
+
+        gn = (gn_scale, gn_bias, with_silu, eps). With a calibrated static
+        scale and a VMEM-sized slab, the whole prologue+quantize is ONE
+        Pallas pass (gn_silu_q); otherwise the jnp prologue runs and the
+        plain activation-quant path follows.
+        """
+        from vdtpu.ops.pallas.gn_silu import _ref_gn_silu, eligible, gn_silu_q
+        gs, gb, with_silu, eps = gn
+        has_static = (get_policy() != "int8_calib"
+                      and self.has_variable("quant", "act_scale"))
+        if has_static and eligible(x.shape, x.dtype, out_itemsize=1):
+            s = self.get_variable("quant", "act_scale")
+            shape = x.shape
+            xq = gn_silu_q(x.reshape(shape[0], -1, shape[-1]), gs, gb,
+                           jnp.asarray(s), 32, eps, with_silu).reshape(shape)
+            return xq, s
+        shape = x.shape
+        h = _ref_gn_silu(x.reshape(shape[0], -1, shape[-1]), gs, gb, 32, eps,
+                         with_silu).reshape(shape)
+        return self._act(h)
+
 
 def _merge_max(a, b):
     if a is None:
@@ -133,8 +167,44 @@ def calibrate(model, params, flow_inputs):
             agg = _merge_max(agg, dict(col["quant_calib"]))
     finally:
         set_policy(old)
-    model.quant_scales = _to_scales(agg)
+    scales = _to_scales(agg)
+    _attach_weight_tables(scales, model._diffuser_params(params))
+    model.quant_scales = scales
     return model.quant_scales
+
+
+def _attach_weight_tables(scales: dict, params):
+    """Materialize per-site int8 weights + scales into the quant collection.
+
+    Sites are exactly the modules that sowed an act_scale during
+    calibration; their param subtree holds the f32/bf16 kernel. One jitted
+    pass quantizes everything (per-leaf eager dispatch is slow through a
+    remote-device tunnel)."""
+    sites = []
+
+    def walk(sc, pp, path):
+        for k, v in list(sc.items()):
+            if isinstance(v, dict):
+                sub = pp.get(k, {}) if hasattr(pp, "get") else {}
+                if "act_scale" in v and "kernel" in sub:
+                    sites.append((path + (k,), sub["kernel"]))
+                walk(v, sub, path + (k,))
+
+    walk(scales, params, ())
+
+    @jax.jit
+    def qall(kernels):
+        out = []
+        for kern in kernels:
+            out.append(_quantize_weight(kern, tuple(range(kern.ndim - 1))))
+        return out
+
+    tables = qall([k for _, k in sites])
+    for (path, _), (wq, sw) in zip(sites, tables):
+        node = scales
+        for k in path:
+            node = node[k]
+        node["w_q"], node["w_scale"] = wq, sw
 
 
 class QConv(_QBase):
@@ -148,12 +218,12 @@ class QConv(_QBase):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gn=None):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1], self.features))
-        wq, s_w = _quantize_weight(kernel, (0, 1, 2))  # s_w [1,1,1,cout]
-        xq, s_x = self._act(x)
+        wq, s_w = self._weights(kernel, (0, 1, 2))  # s_w [1,1,1,cout]
+        xq, s_x = self._act(x) if gn is None else self._act_with_prologue(x, gn)
         pad = self.padding
         if isinstance(pad, str):
             dims = lax.conv_dimension_numbers(x.shape, wq.shape,
@@ -182,11 +252,11 @@ class QDense(_QBase):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gn=None):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
-        wq, s_w = _quantize_weight(kernel, (0,))  # s_w [1, f]
-        xq, s_x = self._act(x)
+        wq, s_w = self._weights(kernel, (0,))  # s_w [1, f]
+        xq, s_x = self._act(x) if gn is None else self._act_with_prologue(x, gn)
         y = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (s_x * s_w.reshape((1,) * (x.ndim - 1) + (-1,)))
