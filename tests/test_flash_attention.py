@@ -56,3 +56,28 @@ def test_flash_backward_kernels_match_xla(n, m, d, h):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,m,d,h", [(256, 256, 40, 2), (256, 77, 40, 2),
+                                     (128, 130, 64, 1)])
+def test_nomax_kernel_matches_xla(n, m, d, h):
+    """The calibrated no-max serving kernel == softmax attention whenever the
+    shift upper-bounds the logits (incl. ragged kv padding)."""
+    from vdtpu.ops.pallas.flash import flash_attention_nomax
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(2, n, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    ref = _xla_attention(q, k, v, None, d ** -0.5)
+    # per-head shifts: the true per-head max logits (what calibration records)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+    shift = jnp.max(s, axis=(0, 2, 3))
+    out = flash_attention_nomax(q, k, v, shift, block_q=64, block_k=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # a loose bound (shift above the true max) must not change the output
+    out2 = flash_attention_nomax(q, k, v, shift + 25.0, block_q=64,
+                                 block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

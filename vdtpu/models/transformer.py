@@ -68,9 +68,32 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
-        out = scaled_dot_product_attention(q, k, v, mask=mask)
+        out = scaled_dot_product_attention(
+            q, k, v, mask=mask, softmax_shift=self._logit_shift(q, k, mask))
         out = out.reshape(b, n, inner)
         return dense(self.query_dim, "to_out.0", self.dtype)(out)
+
+    def _logit_shift(self, q, k, mask):
+        """Calibrated max-logit bound for the serving no-max softmax kernel.
+
+        Under the int8 calibration pass the actual max scaled logit of this
+        call site is sow'd (the extra QK einsum runs only during the handful
+        of calibration batches); at serving the recorded bound is read from
+        the 'quant' collection and routes attention to
+        flash_attention_nomax. None outside the int8 serving policy."""
+        from vdtpu.ops.quant import get_policy
+        if get_policy() == "int8_calib" and mask is None:
+            s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * (q.shape[-1] ** -0.5)
+            # per-head bound: head logit ranges differ wildly in trained
+            # attention; a shared site max would underflow cold heads' rows
+            self.sow("quant_calib", "attn_logit_max", jnp.max(s, axis=(0, 2, 3)),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.full((self.heads,), -1e30, jnp.float32))
+            return None
+        if get_policy() == "int8" and self.has_variable("quant", "attn_shift"):
+            return self.get_variable("quant", "attn_shift")
+        return None
 
 
 class BasicTransformerBlock(nn.Module):

@@ -66,7 +66,8 @@ def _xla_attention(q, k, v, mask, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def scaled_dot_product_attention(q, k, v, mask=None, scale: float | None = None):
+def scaled_dot_product_attention(q, k, v, mask=None, scale: float | None = None,
+                                 softmax_shift=None):
     """Multi-head attention.
 
     Args:
@@ -74,12 +75,17 @@ def scaled_dot_product_attention(q, k, v, mask=None, scale: float | None = None)
       k, v: [B, K, H, D]
       mask: optional broadcastable-to [B, H, Q, K] boolean (True = keep).
       scale: logit scale; defaults to D**-0.5 (ref attention.py:158).
+      softmax_shift: optional calibrated upper bound on the scaled logits
+        (serving): routes eligible shapes to the no-max flash kernel, which
+        halves the VPU softmax cost (vdtpu/ops/pallas/flash.py).
     Returns: [B, Q, H, D]
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     backend = _pick_backend(q.shape[1], k.shape[1], q.shape[-1])
     if backend == "flash":
-        from vdtpu.ops.pallas.flash import flash_attention
+        from vdtpu.ops.pallas.flash import flash_attention, flash_attention_nomax
+        if softmax_shift is not None and mask is None:
+            return flash_attention_nomax(q, k, v, softmax_shift, scale=scale)
         return flash_attention(q, k, v, mask=mask, scale=scale)
     return _xla_attention(q, k, v, mask, scale)

@@ -39,32 +39,44 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_k: int):
     """Online-softmax forward. lse_ref is None on the primal-only variant
-    (inference) — only the VJP needs the logsumexp residuals."""
-    q = q_ref[0].astype(jnp.float32)          # [BQ, Dp]
+    (inference) — only the VJP needs the logsumexp residuals.
+
+    MXU notes: matmul operands stay in the input dtype (bf16) with f32
+    accumulation via preferred_element_type — an f32xf32 MXU matmul costs
+    ~6 passes vs 1 for bf16, and the f32 up-casts of whole K/V panels were
+    pure VPU overhead. The probability block is cast back to bf16 for the
+    PV matmul (standard flash practice; accumulation stays f32). The
+    kv-padding mask is only materialized when padding exists. The softmax
+    scale is folded into q once per block ([BQ, D] elements) instead of
+    rescaling every [BQ, BK] score panel."""
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     bq = q.shape[0]
     m_tot = k_ref.shape[1]
     num_kb = m_tot // block_k
+    masked = kv_len < m_tot                    # static: padding present?
 
     def body(i, carry):
         m_run, l_run, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [BQ, BK]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG)
+            preferred_element_type=jnp.float32)           # [BQ, BK] f32
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < kv_len, s, _NEG)
         m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((bq,), _NEG, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
     m_f, l_f, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l_f[:, None]).astype(o_ref.dtype)
     if lse_ref is not None:
@@ -117,33 +129,234 @@ def _fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
 
 
 # --------------------------------------------------------------------------
+# calibrated no-max forward (serving): softmax without the online max
+# --------------------------------------------------------------------------
+
+def _nomax_kernel(q_ref, k_ref, v_ref, shift_ref, o_ref, *, scale: float,
+                  kv_len: int, block_k: int, d: int):
+    """exp(s - M) accumulated directly; M is a calibrated upper bound on the
+    logits folded into an extra contraction lane (q column d set to 1, k
+    column d set to -M), and the softmax denominator rides the PV matmul as
+    a ones column of v (column d). VPU cost per score element drops from ~5
+    ops (max-reduce, subtract, exp, sum-reduce, rescale) to ~2 (exp, cast).
+
+    The operand augmentation happens IN-KERNEL via lane masks over the
+    VMEM-resident blocks — doing it on the HBM operands cost three extra
+    full-tensor copies and erased the win (measured 3.26 vs 2.30 ms at
+    4096 tokens).
+
+    Safe whenever runtime logits stay below M + 88 (f32 exp overflow) and
+    per-row maxima stay above M - ~80 (underflow to zero rows) — both hold
+    with huge margin for per-head-calibrated shifts; the serving
+    calibration pass records the actual max logit per (site, head)."""
+    dp = q_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
+    neg_m = (-shift_ref[pl.program_id(0), 0]).astype(q_ref.dtype)
+    q = jnp.where(lane == d, jnp.asarray(1.0, q_ref.dtype),
+                  q_ref[0] * jnp.asarray(scale, q_ref.dtype))
+    m_tot = k_ref.shape[1]
+    num_kb = m_tot // block_k
+    masked = kv_len < m_tot
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        if masked:  # padded kv rows: shift lane -> -inf so exp == 0
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0) + i * block_k
+            kcol = jnp.where(row < kv_len, neg_m, jnp.asarray(-1e9, k.dtype))
+            k = jnp.where(lane == d, kcol, k)
+        else:
+            k = jnp.where(lane == d, neg_m, k)
+        v = jnp.where(lane == d, jnp.asarray(1.0, v.dtype), v)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s)
+        return acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((q.shape[0], dp), jnp.float32)
+    acc = jax.lax.fori_loop(0, num_kb, body, acc0)
+    # clamp: a fully-underflowed row (max logit < M - ~85) degrades to zeros
+    # instead of NaN; per-head calibrated shifts keep rows far from this
+    den = jnp.maximum(acc[:, d:d + 1], 1e-30)
+    o_ref[0] = (acc / den).astype(o_ref.dtype)
+
+
+def _nomax_impl(q, k, v, scale: float, shift, block_q: int,
+                block_k: int, interpret: bool):
+    """q: [BH, N, D], k/v: [BH, M, D] -> out [BH, N, D]; shift: [BH] f32."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    dp = _round_up(d + 1, LANE)
+    np_ = _round_up(n, block_q)
+    mp = _round_up(m, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, np_ - n), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, mp - m), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, mp - m), (0, dp - d)))
+
+    q_spec = pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, mp, dp), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    # whole [BH, 1] table in SMEM (blocks smaller than the array must tile to
+    # (8,128) on TPU); the kernel indexes it by program_id
+    s_spec = pl.BlockSpec((bh, 1), lambda b, i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_nomax_kernel, scale=scale, kv_len=m,
+                          block_k=block_k, d=d),
+        grid=(bh, np_ // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, s_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, np_, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, shift.reshape(bh, 1).astype(jnp.float32))
+    return out[:, :n, :d]
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _nomax_slim_kernel(q_ref, kt_ref, v_ref, shift_ref, o_ref, *,
+                       scale: float, kv_len: int, block_k: int):
+    """Unpadded-D no-max softmax attention (serving).
+
+    Operands stay at the native head dim (no 40->128 lane padding: saves the
+    pad ops and 3.2x of the fold-copy traffic; Mosaic charges the same MXU
+    passes either way). K arrives pre-transposed [D, M] so the QK contraction
+    is a natural [bq,D]@[D,bk] matmul. exp runs in base 2 with log2(e) folded
+    into the q scaling; the calibrated shift is one fused subtract. The
+    softmax denominator is a VPU row-sum — measured free next to the MXU
+    matmuls (kernel[raw] == kernel[exp] on v5e, PERF.md r2)."""
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    m2 = shift_ref[pl.program_id(0), 0] * _LOG2E
+    m_tot = v_ref.shape[1]
+    num_kb = m_tot // block_k
+    masked = kv_len < m_tot
+
+    def body(i, carry):
+        acc, den = carry
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        p = jnp.exp2(s - m2)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        den = den + jnp.sum(p, axis=-1, keepdims=True)
+        return acc, den
+
+    acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
+    den0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc, den = jax.lax.fori_loop(0, num_kb, body, (acc0, den0))
+    o_ref[0] = (acc / jnp.maximum(den, 1e-30)).astype(o_ref.dtype)
+
+
+def _nomax_slim_impl(q, k, v, scale: float, shift, block_q: int,
+                     block_k: int, interpret: bool):
+    """q: [BH, N, D], k/v: [BH, M, D], shift: [BH] -> out [BH, N, D]."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    np_ = _round_up(n, block_q)
+    mp = _round_up(m, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, np_ - n), (0, 0))) if np_ != n else q
+    kt = k.transpose(0, 2, 1)
+    if mp != m:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, mp - m)))
+        v = jnp.pad(v, ((0, 0), (0, mp - m), (0, 0)))
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, d, mp), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, mp, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((bh, 1), lambda b, i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_nomax_slim_kernel, scale=scale, kv_len=m,
+                          block_k=block_k),
+        grid=(bh, np_ // block_q),
+        in_specs=[q_spec, kt_spec, v_spec, s_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
+        interpret=interpret,
+    )(qp, kt, v, shift.reshape(bh, 1).astype(jnp.float32))
+    return out[:, :n, :] if np_ != n else out
+
+
+def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
+                          block_q: int = 512, block_k: int = 512,
+                          interpret: bool | None = None):
+    """Serving-only flash attention with a calibrated softmax shift.
+
+    Same [B, N, H, D] contract as flash_attention; `shift` is an upper bound
+    on the scaled logits for this call site (a python float or traced scalar
+    from the int8 serving calibration pass). Numerically identical to
+    softmax(QK^T*scale)V up to f32 exp/sum rounding. Forward-only (no vjp):
+    training keeps the exact online-softmax kernels.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    bq = min(block_q, _round_up(n, 8))
+    bk = min(block_k, _round_up(m, 128))
+    dp = _round_up(d + 1, LANE)
+    mp = _round_up(m, bk)
+    fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+    if 2 * mp * dp * q.dtype.itemsize > 6 * 1024 * 1024:
+        out = _xla_ref(fold(q), fold(k), fold(v), scale)
+        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    shift = jnp.broadcast_to(jnp.asarray(shift, jnp.float32), (h,))
+    shift_bh = jnp.tile(shift, b)  # fold() orders rows as b*h + h_idx
+    if d % 8 == 0:  # sublane-aligned head dims take the unpadded kernel
+        out = _nomax_slim_impl(fold(q), fold(k), fold(v), scale, shift_bh,
+                               bq, bk, interpret)
+    else:
+        out = _nomax_impl(fold(q), fold(k), fold(v), scale, shift_bh, bq, bk,
+                          interpret)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------------------
 # backward: dq over query blocks; dk/dv over key blocks
 # --------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale: float, kv_len: int, block_k: int):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, 0]
     delta = delta_ref[0][:, 0]
     m_tot = k_ref.shape[1]
     num_kb = m_tot // block_k
+    masked = kv_len < m_tot
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < kv_len, s, _NEG)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = (p * (dp - delta[:, None]) * scale).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
-    dq0 = jnp.zeros_like(q)
+    dq0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
     dq = jax.lax.fori_loop(0, num_kb, body, dq0)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -151,34 +364,37 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, kv_len: int,
                     block_q: int):
-    k = k_ref[0].astype(jnp.float32)   # [BK, Dp]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                       # [BK, Dp]
+    v = v_ref[0]
     n_tot = q_ref.shape[1]
     num_qb = n_tot // block_q
     j0 = pl.program_id(1) * k.shape[0]
+    masked = kv_len < (pl.num_programs(1) * k.shape[0])
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j0
-        s = jnp.where(col < kv_len, s, _NEG)
-        p = jnp.exp(s - lse[:, None])                      # [BQ, BK]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j0
+            s = jnp.where(col < kv_len, s, _NEG)
+        p = jnp.exp(s - lse[:, None])                      # [BQ, BK] f32
+        pc = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
 
-    dk0 = jnp.zeros_like(k)
-    dv0 = jnp.zeros_like(v)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)

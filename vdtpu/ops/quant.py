@@ -130,6 +130,11 @@ def _to_scales(tree):
         if k == "act_absmax":
             (m,) = v if isinstance(v, tuple) else (v,)
             out["act_scale"] = jnp.maximum(m / 127.0, 1e-10)
+        elif k == "attn_logit_max":
+            # max scaled logit observed -> softmax shift for the no-max
+            # serving kernel (transformer.CrossAttention._logit_shift)
+            (m,) = v if isinstance(v, tuple) else (v,)
+            out["attn_shift"] = m
         elif isinstance(v, dict):
             out[k] = _to_scales(v)
         else:

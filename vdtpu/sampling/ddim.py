@@ -50,8 +50,12 @@ class DDIMTables:
 
 
 def _ddim_update(x, eps, a_t, a_prev, sigma, som, key, temperature,
-                 noise_dropout: float = 0.0):
-    """One x_t -> x_{t-1} DDIM update (ref ddim.py:158-171)."""
+                 noise_dropout: float = 0.0, noise_unit=None):
+    """One x_t -> x_{t-1} DDIM update (ref ddim.py:158-171).
+
+    noise_unit: optional pre-drawn standard normal (torch-noise injection
+    for bit-comparability, vdtpu/interop/noise.py) used instead of the
+    PRNG-key draw."""
     a_t = a_t.reshape(()).astype(x.dtype)
     a_prev = a_prev.reshape(()).astype(x.dtype)
     sigma = sigma.reshape(()).astype(x.dtype)
@@ -59,7 +63,9 @@ def _ddim_update(x, eps, a_t, a_prev, sigma, som, key, temperature,
     pred_x0 = (x - som * eps) / jnp.sqrt(a_t)
     dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0, None)) * eps
     key, kd = jax.random.split(key)
-    noise = sigma * jax.random.normal(key, x.shape, x.dtype) * temperature
+    unit = jax.random.normal(key, x.shape, x.dtype) if noise_unit is None \
+        else noise_unit.astype(x.dtype)
+    noise = sigma * unit * temperature
     if noise_dropout > 0.0:  # ref ddim.py:168-169
         keep = jax.random.bernoulli(kd, 1.0 - noise_dropout, x.shape)
         noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
@@ -70,28 +76,38 @@ def ddim_scan(
     eps_fn: Callable,          # (x, t[B], step_index) -> eps
     x_init, key, tables: DDIMTables, temperature: float = 1.0,
     noise_dropout: float = 0.0, return_intermediates: bool = False,
+    noise_table=None,          # [S, *x.shape] pre-drawn unit normals
 ):
     """Run the full reversed-timestep loop as one lax.scan.
 
     return_intermediates stacks (pred_xt, pred_x0) per step (the reference's
-    intermediates log, ddim.py:107-125) — callers subsample as needed."""
+    intermediates log, ddim.py:107-125) — callers subsample as needed.
+    noise_table replaces the in-scan PRNG draws with captured torch noise
+    (interop/noise.py) for bit-comparability runs."""
     ts, al, alp, sig, som = tables.stacked()
     n = ts.shape[0]
     bsz = x_init.shape[0]
 
     def step(carry, inp):
         x, key = carry
-        i, t, a_t, a_prev, sigma, s1m = inp
+        if noise_table is None:
+            i, t, a_t, a_prev, sigma, s1m = inp
+            unit = None
+        else:
+            (i, t, a_t, a_prev, sigma, s1m), unit = inp
         key, sub = jax.random.split(key)
         t_b = jnp.full((bsz,), t, jnp.int32)
         eps = eps_fn(x, t_b, i)
         x_next, pred_x0 = _ddim_update(x, eps, a_t, a_prev, sigma, s1m, sub,
-                                       temperature, noise_dropout)
+                                       temperature, noise_dropout, unit)
         out = (x_next, pred_x0) if return_intermediates else None
         return (x_next, key), out
 
     idx = jnp.arange(n)
-    (x, _), inter = jax.lax.scan(step, (x_init, key), (idx, ts, al, alp, sig, som))
+    xs = (idx, ts, al, alp, sig, som)
+    if noise_table is not None:
+        xs = (xs, noise_table)
+    (x, _), inter = jax.lax.scan(step, (x_init, key), xs)
     if return_intermediates:
         return x, {"pred_xt": inter[0], "pred_x0": inter[1]}
     return x
@@ -152,7 +168,10 @@ class DDIMSampler:
             ts_full = tables.timesteps[::-1]  # ascending
             t0 = jnp.full((shape[0],), int(ts_full[k]), jnp.int32)
             key, sub = jax.random.split(key)
-            noise = jax.random.normal(sub, shape, dtype)
+            if x_info.get("noise") is not None:  # torch-noise injection
+                noise = jnp.asarray(x_info["noise"], dtype)
+            else:
+                noise = jax.random.normal(sub, shape, dtype)
             x0 = jnp.asarray(x_info["x0"], dtype)
             x = self.model.schedule.q_sample(x0, t0, noise)
             # keep only the k lowest timesteps (ref ddim.py:99-101); tables
@@ -169,19 +188,34 @@ class DDIMSampler:
     def _jitted(self, cache_key, build):
         """Per-signature jit cache: un-jitted sampling re-traces the whole
         50-step scan on EVERY request (seconds of host time; same failure
-        mode fixed for Optimus decode — PERF.md)."""
+        mode fixed for Optimus decode — PERF.md).
+
+        With $VDTPU_AOT_CACHE set, compiled executables additionally persist
+        to disk (vdtpu/serving/aot.py): a warm boot deserializes the 50-step
+        scan in seconds instead of the 2-5 minute jit (serving cold start,
+        VERDICT r1 item 9)."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         fn = self._jit_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(build())
+            from vdtpu.serving.aot import CachedCompile, cache_dir
+            if cache_dir() is not None:
+                from vdtpu.ops.quant import get_policy
+                fn = CachedCompile(build(),
+                                   key=f"{cache_key!r}|{get_policy()}")
+            else:
+                fn = jax.jit(build())
             self._jit_cache[cache_key] = fn
         return fn
 
     def sample(self, params, key, steps, shape, x_info, c_info,
                eta=0.0, temperature=1.0, noise_dropout=0.0,
-               return_intermediates=False, dtype=jnp.float32):
-        """Single-context sampling with CFG (ref ddim.py:58-127)."""
+               return_intermediates=False, dtype=jnp.float32,
+               noise_table=None):
+        """Single-context sampling with CFG (ref ddim.py:58-127).
+
+        noise_table (and x_info['noise'] in x0 mode) inject captured torch
+        noise for bit-comparability (interop/noise.py)."""
         x_type = x_info["type"]
         c_type = c_info["type"]
         scale = float(c_info.get("unconditional_guidance_scale", 1.0))
@@ -191,14 +225,17 @@ class DDIMSampler:
         uncond = c_info.get("unconditional_conditioning")
         uncond_is_none = uncond is None  # no-CFG semantics (ref ddim.py:140-142)
         shape = tuple(int(s) for s in shape)
+        has_ntab = noise_table is not None
+        has_qn = mode == "x0" and x_info.get("noise") is not None
         cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
                      mode, k, float(temperature), float(noise_dropout),
-                     bool(return_intermediates), uncond_is_none, str(dtype))
+                     bool(return_intermediates), uncond_is_none, str(dtype),
+                     has_ntab, has_qn)
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
 
-            def run(params, key, cond, uncond, xin):
+            def run(params, key, cond, uncond, xin, ntab, qn):
                 key, sub = jax.random.split(jax.random.fold_in(key, 0))
                 xi = {"type": x_type}
                 if mode == "xt":
@@ -206,13 +243,16 @@ class DDIMSampler:
                 elif mode == "x0":
                     xi["x0"] = xin
                     xi["x0_forward_timesteps"] = k
+                    if has_qn:
+                        xi["noise"] = qn
                 x, tbl = self._x_init(sub, shape, xi, tables, dtype)
                 eps = cfg_eps_fn(
                     lambda xx, tt, cc: self.model.apply_model(
                         params, xx, tt, cc, x_type, c_type),
                     cond, None if uncond_is_none else uncond, scale)
                 return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
-                                 return_intermediates)
+                                 return_intermediates,
+                                 noise_table=ntab if has_ntab else None)
             return run
 
         fn = self._jitted(cache_key, build)
@@ -221,7 +261,10 @@ class DDIMSampler:
         xin = jnp.asarray(x_info.get("xt") if mode == "xt" else
                           x_info.get("x0") if mode == "x0" else
                           jnp.zeros(shape), dtype)
-        return fn(params, key, cond, unc, xin)
+        zero = jnp.zeros((0,), dtype)
+        ntab = jnp.asarray(noise_table, dtype) if has_ntab else zero
+        qn = jnp.asarray(x_info["noise"], dtype) if has_qn else zero
+        return fn(params, key, cond, unc, xin, ntab, qn)
 
     def sample_multicontext(self, params, key, steps, shape, x_info, c_info_list,
                             eta=0.0, temperature=1.0, noise_dropout=0.0,

@@ -1,0 +1,119 @@
+"""AOT executable cache: serve the first request without a 2-5 minute jit.
+
+The t2i 50-step scan compiles in 130-300s on the tunneled TPU backend and
+the stock persistent compilation cache does not capture this backend's
+artifacts (PERF.md). This module persists the *compiled executable itself*
+via ``jax.experimental.serialize_executable`` keyed by (signature, jax
+version, device kind, code epoch): a warm boot deserializes in seconds
+instead of recompiling.
+
+No counterpart in the reference (its first Gradio request eats the CUDA
+warmup); this is the TPU-native serving story called for by VERDICT r1
+item 9.
+
+Usage: ``CachedCompile(fn, key)`` is a drop-in for ``jax.jit(fn)`` — on
+first call it loads the executable from ``$VDTPU_AOT_CACHE`` (or compiles
+and stores it); any load/shape mismatch falls back to a fresh compile.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import threading
+
+import jax
+
+# bump when compiled-function semantics change incompatibly
+CODE_EPOCH = "1"
+
+
+def cache_dir() -> str | None:
+    return os.environ.get("VDTPU_AOT_CACHE") or None
+
+
+def _env_tag() -> str:
+    dev = jax.devices()[0]
+    return f"{jax.__version__}-{dev.platform}-{getattr(dev, 'device_kind', '?')}-{CODE_EPOCH}"
+
+
+def _path(key: str) -> str:
+    h = hashlib.sha256(f"{key}|{_env_tag()}".encode()).hexdigest()[:24]
+    return os.path.join(cache_dir(), f"exe-{h}.pkl")
+
+
+class CachedCompile:
+    """Lazy lower->compile with on-disk executable persistence.
+
+    key: a stable string identifying the traced computation (the sampler's
+    signature tuple repr). Argument shape/dtype mismatches against a cached
+    executable raise inside XLA at call time and trigger a recompile.
+    """
+
+    def __init__(self, fn, key: str):
+        self._fn = fn
+        self._key = key
+        self._compiled = None
+        self._lock = threading.Lock()
+
+    def _try_load(self):
+        d = cache_dir()
+        if d is None:
+            return None
+        p = _path(self._key)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p, "rb") as f:
+                payload, in_tree, out_tree, dev_ids = pickle.load(f)
+            from jax.experimental.serialize_executable import deserialize_and_load
+            # rebind to the same device ids: deserialize defaults to ALL
+            # local devices, which breaks 1-device executables on virtual
+            # multi-device hosts
+            by_id = {dev.id: dev for dev in jax.devices()}
+            devs = [by_id[i] for i in dev_ids] if dev_ids else None
+            return deserialize_and_load(payload, in_tree, out_tree,
+                                        execution_devices=devs)
+        except Exception:
+            return None  # stale/corrupt/foreign-topology: recompile below
+
+    def _store(self, compiled):
+        d = cache_dir()
+        if d is None:
+            return
+        try:
+            from jax.experimental.serialize_executable import serialize
+            payload, in_tree, out_tree = serialize(compiled)
+            try:
+                sh = compiled.input_shardings[0]
+                dev_ids = sorted(dev.id for dev in sh[0].device_set) if sh \
+                    else [jax.devices()[0].id]
+            except Exception:
+                dev_ids = None
+            os.makedirs(d, exist_ok=True)
+            p = _path(self._key)
+            tmp = p + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, dev_ids), f)
+            os.replace(tmp, p)
+        except Exception:
+            pass  # cache is an optimization; never fail the request
+
+    def _compile(self, args):
+        compiled = jax.jit(self._fn).lower(*args).compile()
+        self._store(compiled)
+        return compiled
+
+    def __call__(self, *args):
+        if self._compiled is None:
+            with self._lock:
+                if self._compiled is None:
+                    self._compiled = self._try_load() or self._compile(args)
+        try:
+            return self._compiled(*args)
+        except Exception:
+            # deserialized executable incompatible with these args
+            # (shape/dtype drift): recompile once
+            with self._lock:
+                self._compiled = self._compile(args)
+            return self._compiled(*args)
