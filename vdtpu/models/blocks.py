@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vdtpu.models.layers import (
-    Dtype, FusedGNSiLU, GNParams, conv3, dense, group_norm, silu)
+    Dtype, FusedGNSiLU, GNParams, apply_add, conv3, dense, group_norm, silu)
 
 
 class ResBlock2D(nn.Module):
@@ -32,37 +32,35 @@ class ResBlock2D(nn.Module):
             return FusedGNSiLU(dtype=self.dtype, name=name)(x)
         return silu(group_norm(name)(x).astype(self.dtype))
 
-    def _gn_conv(self, x, gn_name: str, conv_name: str, zero_init=False):
-        """GN+SiLU -> conv3. NOTE: handing the prologue to QConv as a fused
-        Pallas GN+SiLU+quantize pass (quant._act_with_prologue) measured
-        NEGATIVE on v5e — the custom-calls in the scan body disrupt XLA's
-        conv fusions (62 vs 38.6 ms/step, PERF.md r2) — so both policies
-        use the XLA prologue; the fused path stays available for QConv
-        callers on other backends via the gn= argument."""
-        h = self._gn_silu(x, gn_name)
-        return conv3(self.out_channels, conv_name, self.dtype,
-                     zero_init=zero_init)(h)
+    # NOTE: handing the GN+SiLU prologue to QConv as a fused Pallas
+    # GN+SiLU+quantize pass (quant._act_with_prologue) measured NEGATIVE on
+    # v5e — the custom-calls in the scan body disrupt XLA's conv fusions
+    # (62 vs 38.6 ms/step, PERF.md r2) — so both policies use the XLA
+    # prologue; the fused path stays available via QConv's gn= argument.
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
-        h = self._gn_conv(x, "in_layers.0", "in_layers.2")
+        # FiLM and residual adds ride the convs' epilogues (apply_add):
+        # separate add passes are HBM-bound (PERF.md r2)
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
-        h = h + e[:, None, None, :]
-        if self.dropout > 0.0:
-            h = self._gn_silu(h, "out_layers.0")
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = conv3(self.out_channels, "out_layers.3", self.dtype,
-                      zero_init=True)(h)
-        else:
-            h = self._gn_conv(h, "out_layers.0", "out_layers.3",
-                              zero_init=True)
+        h = self._gn_silu(x, "in_layers.0")
+        h = apply_add(conv3(self.out_channels, "in_layers.2", self.dtype),
+                      h, e[:, None, None, :])
         if self.out_channels == self.channels:
             skip = x
         else:
             skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                            name="skip_connection")(x)
-        return skip + h
+        if self.dropout > 0.0:
+            h = self._gn_silu(h, "out_layers.0")
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = conv3(self.out_channels, "out_layers.3", self.dtype,
+                      zero_init=True)(h)
+            return skip + h
+        h = self._gn_silu(h, "out_layers.0")
+        return apply_add(conv3(self.out_channels, "out_layers.3", self.dtype,
+                               zero_init=True), h, skip)
 
 
 class FCBlock(nn.Module):
@@ -77,15 +75,15 @@ class FCBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = group_norm("in_layers.0")(x).astype(self.dtype)
-        h = dense(self.out_channels, "in_layers.2", self.dtype)(silu(h))
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
-        h = h + e
-        h = group_norm("out_layers.0")(h).astype(self.dtype)
-        h = dense(self.out_channels, "out_layers.3", self.dtype, zero_init=True)(silu(h))
+        h = group_norm("in_layers.0")(x).astype(self.dtype)
+        h = apply_add(dense(self.out_channels, "in_layers.2", self.dtype),
+                      silu(h), e)
         if self.out_channels == self.channels:
             skip = x
         else:
             skip = dense(self.out_channels, "skip_connection", self.dtype)(x)
-        return skip + h
+        h = group_norm("out_layers.0")(h).astype(self.dtype)
+        return apply_add(dense(self.out_channels, "out_layers.3", self.dtype,
+                               zero_init=True), silu(h), skip)

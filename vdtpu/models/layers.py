@@ -57,6 +57,17 @@ def silu(x):
     return nn.silu(x)
 
 
+def apply_add(module: nn.Module, x, add):
+    """module(x) + add, fused into the quantized epilogue when module is a
+    QConv/QDense (one HBM pass instead of write+read+write; the elementwise
+    passes are bandwidth-bound, PERF.md r2). Numerically: the plain-module
+    path is exactly module(x) + add; the Q path adds in the f32 epilogue."""
+    from vdtpu.ops.quant import QConv, QDense
+    if isinstance(module, (QConv, QDense)):
+        return module(x, add=add)
+    return module(x) + add
+
+
 class GNParams(nn.Module):
     """Parameter-only GroupNorm holder: owns {scale, bias} at its mount
     point while the computation happens fused inside a downstream

@@ -39,10 +39,13 @@ class FeedForward(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         inner = int(self.dim * self.mult)
         h = GEGLU(inner, self.dtype, name="net.0")(x)
-        return dense(self.dim, "net.2", self.dtype)(h)
+        if residual is None:
+            return dense(self.dim, "net.2", self.dtype)(h)
+        from vdtpu.models.layers import apply_add
+        return apply_add(dense(self.dim, "net.2", self.dtype), h, residual)
 
 
 class CrossAttention(nn.Module):
@@ -57,7 +60,7 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
+    def __call__(self, x, context=None, mask=None, residual=None):
         inner = self.heads * self.dim_head
         context = x if context is None else context
         b, n, _ = x.shape
@@ -71,7 +74,12 @@ class CrossAttention(nn.Module):
         out = scaled_dot_product_attention(
             q, k, v, mask=mask, softmax_shift=self._logit_shift(q, k, mask))
         out = out.reshape(b, n, inner)
-        return dense(self.query_dim, "to_out.0", self.dtype)(out)
+        if residual is None:
+            return dense(self.query_dim, "to_out.0", self.dtype)(out)
+        # residual rides the output projection's epilogue (one HBM pass)
+        from vdtpu.models.layers import apply_add
+        return apply_add(dense(self.query_dim, "to_out.0", self.dtype),
+                         out, residual)
 
     def _logit_shift(self, q, k, mask):
         """Calibrated max-logit bound for the serving no-max softmax kernel.
@@ -99,22 +107,28 @@ class CrossAttention(nn.Module):
 class BasicTransformerBlock(nn.Module):
     """self-attn -> cross-attn(context) -> GEGLU FF, pre-LN residuals.
 
-    Ref attention.py:196-218 (disable_self_attn=False in every VD config).
+    Ref attention.py:196-218. disable_self_attn=False in every VD config;
+    True makes attn1 a cross-attention too (legacy-zoo option).
     """
     dim: int
     heads: int
     dim_head: int
     dtype: Dtype = jnp.float32
+    disable_self_attn: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         attn = lambda name: CrossAttention(
             self.heads, self.dim_head, self.dim, self.dtype, name=name)
-        x = attn("attn1")(ln("norm1")(x).astype(self.dtype)) + x
-        x = attn("attn2")(ln("norm2")(x).astype(self.dtype), context=context) + x
+        # residuals ride the output projections' epilogues (apply_add)
+        x = attn("attn1")(ln("norm1")(x).astype(self.dtype),
+                          context=context if self.disable_self_attn else None,
+                          residual=x)
+        x = attn("attn2")(ln("norm2")(x).astype(self.dtype), context=context,
+                          residual=x)
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
-            ln("norm3")(x).astype(self.dtype)) + x
+            ln("norm3")(x).astype(self.dtype), residual=x)
         return x
 
 
@@ -130,6 +144,7 @@ class SpatialTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    disable_self_attn: bool = False
 
     @nn.compact
     def __call__(self, tokens, context=None):
@@ -140,6 +155,9 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, self.dtype,
+                disable_self_attn=self.disable_self_attn,
                 name=f"transformer_blocks.{d}")(x, context=context)
-        x = dense(self.channels, "proj_out", self.dtype, zero_init=True)(x)
-        return x + x_in
+        from vdtpu.models.layers import apply_add
+        return apply_add(
+            dense(self.channels, "proj_out", self.dtype, zero_init=True),
+            x, x_in)

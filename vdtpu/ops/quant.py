@@ -19,6 +19,8 @@ precision path, app.py:255-263); this is TPU-native headroom.
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -223,10 +225,35 @@ class QConv(_QBase):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x, gn=None):
+    def __call__(self, x, gn=None, add=None):
+        """add: optional tensor (broadcastable to the output) summed in the
+        f32 epilogue — fusing FiLM/residual adds into the conv output saves
+        a full read+write pass over the activation (the elementwise passes
+        are HBM-bound at ~300 GB/s effective on this chip, PERF.md r2)."""
         kh, kw = self.kernel_size
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1], self.features))
+        # int8 loses below ~16x16 spatial (8x8x1280: 17.9 vs 22.1 bf16
+        # TFLOP/s on v5e — quantize overhead outweighs the MXU win on tiny
+        # GEMMs); same params either way, so the fallback is free
+        if x.shape[1] * x.shape[2] < int(os.environ.get(
+                "VDTPU_INT8_MIN_PIXELS", "256")):
+            if gn is not None:
+                from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
+                gs, gb, with_silu, eps = gn
+                shape = x.shape
+                x = _ref_gn_silu(x.reshape(shape[0], -1, shape[-1]), gs, gb,
+                                 32, eps, with_silu).reshape(shape)
+            dims = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                              ("NHWC", "HWIO", "NHWC"))
+            pad = self.padding if isinstance(self.padding, str) else list(self.padding)
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.strides,
+                pad, dimension_numbers=dims)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                y = y + bias.astype(self.dtype)
+            return y if add is None else y + add.astype(self.dtype)
         wq, s_w = self._weights(kernel, (0, 1, 2))  # s_w [1,1,1,cout]
         xq, s_x = self._act(x) if gn is None else self._act_with_prologue(x, gn)
         pad = self.padding
@@ -246,6 +273,8 @@ class QConv(_QBase):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
+        if add is not None:
+            y = y + add.astype(jnp.float32)
         return y.astype(self.dtype)
 
 
@@ -257,7 +286,7 @@ class QDense(_QBase):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x, gn=None):
+    def __call__(self, x, gn=None, add=None):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
         wq, s_w = self._weights(kernel, (0,))  # s_w [1, f]
@@ -268,4 +297,6 @@ class QDense(_QBase):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
+        if add is not None:  # fused residual (see QConv)
+            y = y + add.astype(jnp.float32)
         return y.astype(self.dtype)
