@@ -52,4 +52,7 @@ def ref_module(name: str):
     tv.transforms = _stub("torchvision.transforms")
     _stub("easydict", EasyDict=dict)
     _stub("tensorboardX", SummaryWriter=object)
+    om = _stub("omegaconf")   # lazily imported by openaimodel.py:478
+    om.listconfig = _stub("omegaconf.listconfig",
+                          ListConfig=type("ListConfig", (), {}))
     return importlib.import_module(name)

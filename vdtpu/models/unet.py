@@ -396,3 +396,9 @@ class UNet0DNext(UNetBase):
         sdim = f // c
         tokens = h.reshape(b, c, sdim).transpose(0, 2, 1)
         return tokens, lambda t: t.transpose(0, 2, 1).reshape(b, f)
+
+
+# The legacy (pre-v2) diffuser families share the "openai_unet" registry
+# prefix; importing them here makes the lazy registry lookup find them
+# (vdtpu/config/registry.py routes the prefix to this module).
+from vdtpu.models import legacy as _legacy  # noqa: E402,F401
