@@ -81,3 +81,23 @@ def test_nomax_kernel_matches_xla(n, m, d, h):
                                  block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n,m,d,h", [(256, 256, 40, 8), (128, 250, 80, 4)])
+def test_nomax_packed_matches_xla(n, m, d, h):
+    """Opt-in head-packed no-max kernel (native [B,N,H*D] operands, heads
+    statically unrolled in-kernel) == softmax attention, incl. ragged kv."""
+    from vdtpu.ops.pallas import flash
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.randn(2, n, h, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
+    ref = _xla_attention(q, k, v, None, d ** -0.5)
+    old = flash._PACKED
+    flash._PACKED = True
+    try:
+        out = flash.flash_attention_nomax(q, k, v, 6.0, interpret=True)
+    finally:
+        flash._PACKED = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

@@ -18,6 +18,7 @@ matrix in HBM in either direction.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -291,6 +292,90 @@ def _nomax_slim_impl(q, k, v, scale: float, shift, block_q: int,
     return out[:, :n, :] if np_ != n else out
 
 
+def _nomax_packed_kernel(q_ref, k_ref, v_ref, shift_ref, o_ref, *,
+                         scale: float, heads: int, d: int, kv_len: int,
+                         block_k: int):
+    """Head-packed no-max softmax attention (serving).
+
+    Operands arrive in the projections' NATIVE [.., N, H*D] lane layout —
+    no fold/unfold transposes in HBM (those copies ran at the bandwidth
+    floor, ~2.4 ms/step, PERF.md r2) and K/V panels are read once per batch
+    row instead of once per (batch, head). Heads are a static python unroll
+    with compile-time lane slices (dynamic per-head offsets would relayout
+    per grid step); per head the math is exactly _nomax_slim_kernel."""
+    m_tot = k_ref.shape[1]
+    num_kb = m_tot // block_k
+    masked = kv_len < m_tot
+    qf = q_ref[0]
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = (qf[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+        m2 = shift_ref[hh, 0] * _LOG2E
+
+        def body(i, carry, sl=sl, q=q):
+            acc, den = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), sl]
+            v = v_ref[0, pl.ds(i * block_k, block_k), sl]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if masked:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+                s = jnp.where(col < kv_len, s, -jnp.inf)
+            p = jnp.exp2(s - m2)
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            den = den + jnp.sum(p, axis=-1, keepdims=True)
+            return acc, den
+
+        acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
+        den0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+        acc, den = jax.lax.fori_loop(0, num_kb, body, (acc0, den0))
+        outs.append(acc / jnp.maximum(den, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _nomax_packed_impl(q, k, v, scale: float, shift, heads: int, d: int,
+                       block_q: int, block_k: int, interpret: bool):
+    """q: [B, N, H*D], k/v: [B, M, H*D], shift: [H] -> out [B, N, H*D]."""
+    b, n, hd = q.shape
+    m = k.shape[1]
+    np_ = _round_up(n, block_q)
+    mp = _round_up(m, block_k)
+    if np_ != n:
+        q = jnp.pad(q, ((0, 0), (0, np_ - n), (0, 0)))
+    if mp != m:
+        k = jnp.pad(k, ((0, 0), (0, mp - m), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, mp - m), (0, 0)))
+    q_spec = pl.BlockSpec((1, block_q, hd), lambda bi, i: (bi, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, mp, hd), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((heads, 1), lambda bi, i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_nomax_packed_kernel, scale=scale, heads=heads,
+                          d=d, kv_len=m, block_k=block_k),
+        grid=(b, np_ // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, s_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, np_, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v, shift.reshape(heads, 1).astype(jnp.float32))
+    return out[:, :n, :] if np_ != n else out
+
+
+# Head-packed path measured NET NEGATIVE on v5e at the dominant VD shape
+# (e2e batch-8 t2i: 1.503 vs 1.557 img/s): the per-head 40-lane slices of
+# the VMEM-resident [M, H*D] panels relayout on every grid step, costing
+# more than the eliminated fold/unfold HBM copies (which already ran at the
+# bandwidth floor). Kept as an opt-in (VDTPU_NOMAX_PACKED=1) — it wins at
+# d_head 80 / 1024 tokens (91 vs 148 us/call) and on shapes where the
+# q/k/v layout change is forced anyway.
+_PACKED = os.environ.get("VDTPU_NOMAX_PACKED", "0") == "1"
+
+
 def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
                           block_q: int = 512, block_k: int = 4096,
                           interpret: bool | None = None):
@@ -313,6 +398,24 @@ def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
     m = k.shape[1]
     bq = min(block_q, _round_up(n, 8))
     bk = min(block_k, _round_up(m, 128))
+    if _PACKED and d % 8 == 0:
+        # head-packed path: native [B, N, H*D] operands, no fold copies.
+        # whole-KV-panel block_k (chunking measured -9% at 4096 tokens);
+        # q block shrinks to keep k/v + per-head [bq, m] f32 p-panel in VMEM
+        hd = h * d
+        pbk = _round_up(m, 128)
+        kv_bytes = 2 * pbk * hd * q.dtype.itemsize
+        # score/prob/bf16-cast panels each hold [pbq, pbk]; ~3.5x f32-panel
+        # footprint measured against the 16M scoped-vmem limit
+        pbq = bq
+        while pbq > 128 and kv_bytes + 3.5 * pbq * pbk * 4 > 14 * 1024 * 1024:
+            pbq //= 2
+        if kv_bytes + 3.5 * pbq * pbk * 4 <= 14 * 1024 * 1024:
+            shift_h = jnp.broadcast_to(jnp.asarray(shift, jnp.float32), (h,))
+            out = _nomax_packed_impl(
+                q.reshape(b, n, hd), k.reshape(b, m, hd), v.reshape(b, m, hd),
+                scale, shift_h, h, d, pbq, pbk, interpret)
+            return out.reshape(b, n, h, d)
     dp = _round_up(d + 1, LANE)
     mp = _round_up(m, bk)
     fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
