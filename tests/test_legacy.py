@@ -273,3 +273,43 @@ def test_registry_exposes_legacy_types():
                  "openai_unet_nocontext_noatt_decoderonly", "openai_unet_2d",
                  "openai_unet_0d", "openai_unet_0dmd", "openai_unet_vd"):
         assert callable(get_builder(name)), name
+
+
+def test_legacy_vd_registry_jit_sampling():
+    """The legacy two-trunk diffuser is usable for inference through the
+    registry: config-built, jit-compiled (static layer program), and stable
+    over an unrolled denoise loop in both streams."""
+    from vdtpu.config.registry import build
+
+    model = build({"type": "openai_unet_vd",
+                   "args": {"unet_image_cfg": {"type": "openai_unet_2d",
+                                               "args": dict(CFG_2D)},
+                            "unet_text_cfg": {"type": "openai_unet_0dmd",
+                                              "args": dict(CFG_0DMD)}}})
+    x_img = jnp.zeros((2, 8, 8, 4))
+    x_txt = jnp.zeros((2, 24))
+    t = jnp.array([0, 1])
+    c = jnp.asarray(CTX)
+    params = model.init(jax.random.PRNGKey(2), x_img, x_txt, t, c, c,
+                        method=type(model).init_walk)["params"]
+
+    @jax.jit
+    def step_img(x, t, c):
+        return model.apply({"params": params}, x, t, c,
+                           xtype="image", ctype="prompt")
+
+    @jax.jit
+    def step_txt(x, t, c):
+        return model.apply({"params": params}, x, t, c,
+                           xtype="text", ctype="prompt")
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4), jnp.float32)
+    for i in range(4):  # toy denoise: x <- x - 0.3 * eps
+        x = x - 0.3 * step_img(x, jnp.full((2,), 900 - 200 * i), c)
+    assert np.isfinite(np.asarray(x)).all()
+    assert step_img._cache_size() == 1  # one trace for all steps
+
+    xt = jnp.asarray(np.random.RandomState(1).randn(2, 24), jnp.float32)
+    for i in range(4):
+        xt = xt - 0.3 * step_txt(xt, jnp.full((2,), 900 - 200 * i), c)
+    assert np.isfinite(np.asarray(xt)).all()
