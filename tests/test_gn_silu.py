@@ -68,3 +68,21 @@ def test_resblock_param_names_unchanged():
                jnp.zeros((1, 16)))["params"]
     assert set(p["in_layers.0"]) == {"scale", "bias"}
     assert set(p["out_layers.0"]) == {"scale", "bias"}
+
+
+def test_blocked_quantized_path_matches_reference():
+    """The blocked stats+apply kernels (large-slab serving path) must match
+    the jnp reference GN+SiLU followed by static-scale quantization."""
+    from vdtpu.ops.pallas.gn_silu import _gn_silu_q_blocked, _ref_gn_silu
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 1024, 64).astype(np.float32))
+    scale = jnp.asarray(rs.randn(64).astype(np.float32))
+    bias = jnp.asarray(rs.randn(64).astype(np.float32))
+    s_act = jnp.asarray(0.037)
+    out = _gn_silu_q_blocked(x, scale, bias, s_act, 32, 1e-5, True,
+                             interpret=True)
+    ref = _ref_gn_silu(x, scale, bias, 32, 1e-5, True)
+    refq = np.clip(np.round(np.asarray(ref) / 0.037), -127, 127).astype(np.int8)
+    # round-to-nearest ties may differ by 1 ulp at most
+    diff = np.abs(np.asarray(out).astype(np.int32) - refq.astype(np.int32))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3

@@ -11,6 +11,8 @@ hack (diffusion_utils.py:84-129).
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -27,16 +29,30 @@ class ResBlock2D(nn.Module):
 
     def _gn_silu(self, x, name: str):
         """GN+SiLU; both branches share the {scale, bias} param path."""
-        import os
         if os.environ.get("VDTPU_FUSED_GN"):
             return FusedGNSiLU(dtype=self.dtype, name=name)(x)
         return silu(group_norm(name)(x).astype(self.dtype))
 
     # NOTE: handing the GN+SiLU prologue to QConv as a fused Pallas
     # GN+SiLU+quantize pass (quant._act_with_prologue) measured NEGATIVE on
-    # v5e — the custom-calls in the scan body disrupt XLA's conv fusions
-    # (62 vs 38.6 ms/step, PERF.md r2) — so both policies use the XLA
-    # prologue; the fused path stays available via QConv's gn= argument.
+    # v5e TWICE — r2-early whole-slab (62 vs 38.6 ms/step) and r2-late with
+    # the blocked stats+apply kernels at the batch-8 throughput point
+    # (1.406 vs 1.557 img/s e2e) — the custom-call boundaries in the scan
+    # body cost more in lost XLA fusions than the GN/quantize passes
+    # themselves (34% of the step per the batch-16 trace, ~7x the HBM
+    # floor, yet XLA's fused form still wins end to end). Opt-in stays via
+    # VDTPU_QCONV_GN=1 (int8 policy only; identical param tree + numerics).
+
+    def _gn_conv(self, x, gn_name: str, conv_name: str, add,
+                 zero_init: bool = False):
+        conv = conv3(self.out_channels, conv_name, self.dtype,
+                     zero_init=zero_init)
+        from vdtpu.ops.quant import QConv
+        if os.environ.get("VDTPU_QCONV_GN") == "1" and isinstance(conv, QConv):
+            gs, gb = GNParams(x.shape[-1], name=gn_name)()
+            return conv(x, gn=(gs, gb, True, 1e-5), add=add)
+        h = self._gn_silu(x, gn_name)
+        return apply_add(conv, h, add)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -44,9 +60,8 @@ class ResBlock2D(nn.Module):
         # separate add passes are HBM-bound (PERF.md r2)
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
-        h = self._gn_silu(x, "in_layers.0")
-        h = apply_add(conv3(self.out_channels, "in_layers.2", self.dtype),
-                      h, e[:, None, None, :])
+        h = self._gn_conv(x, "in_layers.0", "in_layers.2",
+                          e[:, None, None, :])
         if self.out_channels == self.channels:
             skip = x
         else:
@@ -58,9 +73,8 @@ class ResBlock2D(nn.Module):
             h = conv3(self.out_channels, "out_layers.3", self.dtype,
                       zero_init=True)(h)
             return skip + h
-        h = self._gn_silu(h, "out_layers.0")
-        return apply_add(conv3(self.out_channels, "out_layers.3", self.dtype,
-                               zero_init=True), h, skip)
+        return self._gn_conv(h, "out_layers.0", "out_layers.3", skip,
+                             zero_init=True)
 
 
 class FCBlock(nn.Module):

@@ -126,15 +126,30 @@ def _gn_silu_bwd(groups, eps, with_silu, interpret, res, g):
 _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
+def _fits_whole_slab(n: int, c: int, dtype, out_itemsize: int) -> bool:
+    itemsize = jnp.dtype(dtype).itemsize
+    # int8 output: the compiler's scoped-vmem accounting charges ~3 extra
+    # f32 temporaries plus the (32,128)-tiled s8 relayout (observed 17.9M
+    # for a [4096, 320] bf16->s8 slab); bf16 output compiles at the lighter
+    # footprint (measured working in r2)
+    factor = (12 + itemsize + out_itemsize) if out_itemsize == 1 \
+        else (4 + itemsize + out_itemsize)
+    return n * c * factor <= _VMEM_BUDGET_BYTES
+
+
 def eligible(shape, dtype, out_itemsize: int | None = None) -> bool:
-    """The fused kernel loads a whole [N, C] slab per batch item."""
+    """Whole-slab kernel: one [N, C] slab per batch item in VMEM. int8
+    output additionally accepts the blocked stats+apply path for any
+    N % 512 == 0 slab (no size limit)."""
     n = int(np.prod(shape[1:-1]))
     c = shape[-1]
+    if not (jax.default_backend() == "tpu" and n % 8 == 0 and c % 8 == 0):
+        return False
     itemsize = jnp.dtype(dtype).itemsize
-    out_itemsize = itemsize if out_itemsize is None else out_itemsize
-    return (jax.default_backend() == "tpu"
-            and n * c * (4 + itemsize + out_itemsize) <= _VMEM_BUDGET_BYTES
-            and n % 8 == 0 and c % 8 == 0)
+    oi = itemsize if out_itemsize is None else out_itemsize
+    if _fits_whole_slab(n, c, dtype, oi):
+        return True
+    return oi == 1 and n % _BLOCK_N == 0
 
 
 def _kernel_q(x_ref, sc_ref, b_ref, ind_ref, indt_ref, sact_ref, o_ref, *,
@@ -164,18 +179,112 @@ def _kernel_q(x_ref, sc_ref, b_ref, ind_ref, indt_ref, sact_ref, o_ref, *,
     o_ref[0] = jnp.clip(jnp.round(y * inv), -127, 127).astype(jnp.int8)
 
 
+def _stats_kernel(x_ref, ind_ref, indt_ref, o_ref, acc, *, eps: float,
+                  count: float):
+    """Blocked GN statistics: accumulate column sums over N-blocks in VMEM
+    scratch; at the last block reduce to per-group stats (two tiny indicator
+    matmuls on the MXU) and emit broadcast-to-channels [mean_c; rstd_c]."""
+    nb = pl.program_id(1)
+
+    @pl.when(nb == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    xf = x_ref[0].astype(jnp.float32)                   # [BN, C]
+    acc[0:1, :] += jnp.sum(xf, axis=0, keepdims=True)
+    acc[1:2, :] += jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    @pl.when(nb == pl.num_programs(1) - 1)
+    def _finish():
+        ind = ind_ref[...]                              # [C, G]
+        gsum = jax.lax.dot(acc[0:1, :], ind)
+        gsq = jax.lax.dot(acc[1:2, :], ind)
+        mean_g = gsum / count
+        var_g = gsq / count - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        indt = indt_ref[...]                            # [G, C]
+        o_ref[0, 0:1, :] = jax.lax.dot(mean_g, indt)
+        o_ref[0, 1:2, :] = jax.lax.dot(rstd_g, indt)
+
+
+def _apply_q_kernel(x_ref, st_ref, sc_ref, b_ref, sact_ref, o_ref, *,
+                    with_silu: bool):
+    xf = x_ref[0].astype(jnp.float32)                   # [BN, C]
+    y = (xf - st_ref[0, 0:1, :]) * st_ref[0, 1:2, :] \
+        * sc_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    inv = 1.0 / sact_ref[0]
+    o_ref[0] = jnp.clip(jnp.round(y * inv), -127, 127).astype(jnp.int8)
+
+
+_BLOCK_N = 512
+
+
+def _gn_silu_q_blocked(xr, scale, bias, s_act, groups: int, eps: float,
+                       with_silu: bool, interpret: bool):
+    """Two-kernel blocked path for slabs too big for VMEM: stats (scratch
+    accumulation over N-blocks) then apply+quantize. Same HBM traffic as
+    XLA's own lowering (2 reads + 1 int8 write) without its layout-change
+    passes."""
+    b, n, c = xr.shape
+    bn = _BLOCK_N
+    ind, indt = _indicators(c, groups)
+    sc = scale.reshape(1, c)
+    bi = bias.reshape(1, c)
+    stats = pl.pallas_call(
+        functools.partial(_stats_kernel, eps=eps, count=float(n * (c // groups))),
+        grid=(b, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(xr, ind, indt)
+    out = pl.pallas_call(
+        functools.partial(_apply_q_kernel, with_silu=with_silu),
+        grid=(b, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, jnp.int8),
+        interpret=interpret,
+    )(xr, stats, sc, bi, s_act.reshape(1).astype(jnp.float32))
+    return out
+
+
 def gn_silu_q(x, scale, bias, s_act, groups: int = 32, eps: float = 1e-5,
               with_silu: bool = True, interpret: bool = False):
     """Fused GN(+SiLU)+int8-quantize; returns int8 of x's shape.
 
     s_act: static (calibrated) per-tensor activation scale, scalar array.
-    Serving-only (no vjp). Caller must check `eligible(x.shape, x.dtype)`
-    or pass interpret=True.
+    Serving-only (no vjp). Whole-slab one-pass kernel when the slab fits
+    VMEM; blocked stats+apply kernels otherwise. Caller must check
+    `eligible(x.shape, x.dtype, out_itemsize=1)` or pass interpret=True.
     """
     shape = x.shape
     c = shape[-1]
     xr = x.reshape(shape[0], -1, c)
     b, n, _ = xr.shape
+    if not (interpret or _fits_whole_slab(n, c, x.dtype, 1)):
+        return _gn_silu_q_blocked(xr, scale, bias, s_act, groups, eps,
+                                  with_silu, interpret).reshape(shape)
     ind, indt = _indicators(c, groups)
     kern = functools.partial(_kernel_q, eps=eps, with_silu=with_silu,
                              cpg=c // groups)
