@@ -93,11 +93,11 @@ def test_nomax_packed_matches_xla(n, m, d, h):
     k = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32)) * 0.3
     v = jnp.asarray(rs.randn(2, m, h, d).astype(np.float32))
     ref = _xla_attention(q, k, v, None, d ** -0.5)
-    old = flash._PACKED
-    flash._PACKED = True
+    import os
+    os.environ["VDTPU_NOMAX_PACKED"] = "1"
     try:
         out = flash.flash_attention_nomax(q, k, v, 6.0, interpret=True)
     finally:
-        flash._PACKED = old
+        del os.environ["VDTPU_NOMAX_PACKED"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)

@@ -86,3 +86,19 @@ def test_blocked_quantized_path_matches_reference():
     # round-to-nearest ties may differ by 1 ulp at most
     diff = np.abs(np.asarray(out).astype(np.int32) - refq.astype(np.int32))
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
+def test_quantized_odd_n_slab_falls_back_exact():
+    """A slab too big for VMEM whose N is not a multiple of the block size
+    must take the exact jnp fallback (the blocked kernels would silently
+    drop the tail rows from the statistics)."""
+    from vdtpu.ops.pallas.gn_silu import _ref_gn_silu, gn_silu_q
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(1, 4480, 256).astype(np.float32))
+    scale = jnp.asarray(rs.randn(256).astype(np.float32))
+    bias = jnp.asarray(rs.randn(256).astype(np.float32))
+    out = gn_silu_q(x, scale, bias, jnp.asarray(0.05), 32, 1e-5, True,
+                    interpret=False)
+    ref = _ref_gn_silu(x, scale, bias, 32, 1e-5, True)
+    refq = np.clip(np.round(np.asarray(ref) / 0.05), -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(out), refq)

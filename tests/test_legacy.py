@@ -313,3 +313,19 @@ def test_legacy_vd_registry_jit_sampling():
     for i in range(4):
         xt = xt - 0.3 * step_txt(xt, jnp.full((2,), 900 - 200 * i), c)
     assert np.isfinite(np.asarray(xt)).all()
+
+
+def test_legacy_vd_paramfree_resample():
+    """conv_resample=False trunks (parameter-free pool/nearest-up) must walk
+    through the VD zip-dispatcher too, not just the standalone trunks."""
+    cfg2d = dict(CFG_2D, conv_resample=False)
+    model = L.LegacyUNetVD({"type": "openai_unet_2d", "args": cfg2d},
+                           {"type": "openai_unet_0dmd", "args": dict(CFG_0DMD)})
+    x_img = X_JAX
+    x_txt = jnp.zeros((2, 24))
+    t = jnp.asarray(T2)
+    c = jnp.asarray(CTX)
+    params = model.init(jax.random.PRNGKey(3), x_img, x_txt, t, c, c,
+                        method=L.LegacyUNetVD.init_walk)
+    out = model.apply(params, x_img, t, c, xtype="image", ctype="prompt")
+    assert out.shape == (2, 8, 8, 4) and np.isfinite(np.asarray(out)).all()

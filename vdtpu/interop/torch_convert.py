@@ -51,7 +51,11 @@ def _transform(torch_val: np.ndarray, flax_leaf_name: str, flax_shape: tuple[int
         elif tv.ndim == 3 and len(flax_shape) == 3:  # conv1d [O,I,k] -> [k,I,O]
             out = tv.transpose(2, 1, 0)
         elif tv.ndim == 3 and len(flax_shape) == 2:  # 1-wide conv1d -> dense
-            out = tv[:, :, 0].T                      # (legacy AttentionBlock qkv)
+            if tv.shape[2] != 1:                     # (legacy AttentionBlock qkv)
+                raise ValueError(
+                    f"conv1d kernel width {tv.shape[2]} != 1 cannot map to a "
+                    f"Dense kernel {flax_shape}")
+            out = tv[:, :, 0].T
         elif tv.ndim == 2 and len(flax_shape) == 2:
             out = tv.T
         else:

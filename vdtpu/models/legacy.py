@@ -736,12 +736,11 @@ class LegacyFCUNet(_LegacyBase):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        ins, mid, outs, final_flat = build_fc_program(
+        ins, mid, outs, _ = build_fc_program(
             self.input_channels, self.model_channels,
             tuple(self.num_noattn_blocks), tuple(self.channel_mult),
             tuple(self.with_attn), self.num_heads,
             None if self.second_dim is None else tuple(self.second_dim))
-        self._final_flat = final_flat
         self._final_ch = self.channel_mult[0] * self.model_channels
         if self.with_time_embed:
             self.time_embed = TimeEmbedMLP(self.model_channels * 4,
@@ -821,7 +820,7 @@ class LegacyUNet0DMultiDim(LegacyFCUNet):
 
 
 @register("openai_unet_vd")
-class LegacyUNetVD(nn.Module):
+class LegacyUNetVD(_LegacyBase):
     """UNetModelVD (openaimodel.py:2468-2566): zip-walks an image trunk
     (UNetModel2D) and a text trunk (UNetModel0D_MultiDim), dispatching each
     layer pair on (xtype, ctype); one shared time_embed (the torch ctor
@@ -861,6 +860,10 @@ class LegacyUNetVD(nn.Module):
                 h = mod(h, emb, deterministic=deterministic)
             elif spec.kind == "fc":
                 h = mod(h, emb)
+            elif spec.kind == "pool":       # parameter-free resamples
+                h = _avg_pool2(h)
+            elif spec.kind == "nn_up":
+                h = _nn_up2(h)
             else:
                 h = mod(h)
         return h
@@ -884,16 +887,6 @@ class LegacyUNetVD(nn.Module):
                                deterministic)
         return trunk._out_head_apply(h) if xtype == "text" else \
             trunk._out_conv(silu(trunk._out_norm(h).astype(self.dtype)))
-
-    def _tokens(self, h, spec):
-        if h.ndim == 4:
-            b, hh, ww, c = h.shape
-            return h.reshape(b, hh * ww, c), \
-                lambda t: t.reshape(b, hh, ww, c)
-        b, f = h.shape
-        c = spec.ch
-        tok = h.reshape(b, c, f // c).transpose(0, 2, 1)
-        return tok, lambda t: t.transpose(0, 2, 1).reshape(b, f)
 
     def __call__(self, x, timesteps, context, xtype: str = "image",
                  ctype: str = "prompt", deterministic: bool = True):

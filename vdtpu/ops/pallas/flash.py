@@ -372,8 +372,10 @@ def _nomax_packed_impl(q, k, v, scale: float, shift, heads: int, d: int,
 # more than the eliminated fold/unfold HBM copies (which already ran at the
 # bandwidth floor). Kept as an opt-in (VDTPU_NOMAX_PACKED=1) — it wins at
 # d_head 80 / 1024 tokens (91 vs 148 us/call) and on shapes where the
-# q/k/v layout change is forced anyway.
-_PACKED = os.environ.get("VDTPU_NOMAX_PACKED", "0") == "1"
+# q/k/v layout change is forced anyway. Read at trace time like the other
+# VDTPU_* knobs (setting the env after import works).
+def _packed_enabled() -> bool:
+    return os.environ.get("VDTPU_NOMAX_PACKED", "0") == "1"
 
 
 def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
@@ -398,7 +400,7 @@ def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
     m = k.shape[1]
     bq = min(block_q, _round_up(n, 8))
     bk = min(block_k, _round_up(m, 128))
-    if _PACKED and d % 8 == 0:
+    if _packed_enabled() and d % 8 == 0:
         # head-packed path: native [B, N, H*D] operands, no fold copies.
         # whole-KV-panel block_k (chunking measured -9% at 4096 tokens);
         # q block shrinks to keep k/v + per-head [bq, m] f32 p-panel in VMEM
@@ -406,8 +408,10 @@ def flash_attention_nomax(q, k, v, shift: float, scale: float | None = None,
         pbk = _round_up(m, 128)
         kv_bytes = 2 * pbk * hd * q.dtype.itemsize
         # score/prob/bf16-cast panels each hold [pbq, pbk]; ~3.5x f32-panel
-        # footprint measured against the 16M scoped-vmem limit
-        pbq = bq
+        # footprint measured against the 16M scoped-vmem limit. Power-of-two
+        # q blocks only (halving an arbitrary bq can break 8-sublane
+        # alignment, e.g. 264 -> 66)
+        pbq = 512
         while pbq > 128 and kv_bytes + 3.5 * pbq * pbk * 4 > 14 * 1024 * 1024:
             pbq //= 2
         if kv_bytes + 3.5 * pbq * pbk * 4 <= 14 * 1024 * 1024:

@@ -283,6 +283,13 @@ def gn_silu_q(x, scale, bias, s_act, groups: int = 32, eps: float = 1e-5,
     xr = x.reshape(shape[0], -1, c)
     b, n, _ = xr.shape
     if not (interpret or _fits_whole_slab(n, c, x.dtype, 1)):
+        if n % _BLOCK_N != 0:
+            # not coverable by either kernel: exact jnp fallback instead of
+            # silently dropping the tail rows from the blocked stats
+            y = _ref_gn_silu(xr, scale, bias, groups, eps, with_silu)
+            inv = 1.0 / s_act.astype(jnp.float32)
+            q = jnp.clip(jnp.round(y.astype(jnp.float32) * inv), -127, 127)
+            return q.astype(jnp.int8).reshape(shape)
         return _gn_silu_q_blocked(xr, scale, bias, s_act, groups, eps,
                                   with_silu, interpret).reshape(shape)
     ind, indt = _indicators(c, groups)
