@@ -14,6 +14,7 @@ mechanical (see vdtpu/interop/torch_convert.py).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vdtpu.models.layers import Dtype, dense, group_norm
@@ -48,11 +49,24 @@ class FeedForward(nn.Module):
         return apply_add(dense(self.dim, "net.2", self.dtype), h, residual)
 
 
+class _Kernel(nn.Module):
+    """Parameter holder with nn.Dense's param layout ({name: {kernel}}) for
+    projections whose matmul runs fused in the parent scope (fused_proj).
+    Same init path/shape as the dense() helper -> identical init draws."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when context is None.
 
     Ref attention.py:152-193. Scale d_head**-0.5; q/k/v projections have no
-    bias, output projection does.
+    bias, output projection does. The q/k/v matmuls share one activation
+    quantize under the int8 policy (vdtpu.ops.quant.fused_proj — numerics
+    identical to separate QDense calls, PERF.md r3).
     """
     heads: int
     dim_head: int
@@ -61,13 +75,20 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, residual=None):
+        from vdtpu.ops.quant import fused_proj
         inner = self.heads * self.dim_head
+        self_attn = context is None
         context = x if context is None else context
         b, n, _ = x.shape
         m = context.shape[1]
-        q = dense(inner, "to_q", self.dtype, use_bias=False)(x)
-        k = dense(inner, "to_k", self.dtype, use_bias=False)(context)
-        v = dense(inner, "to_v", self.dtype, use_bias=False)(context)
+        wq = _Kernel((x.shape[-1], inner), name="to_q")()
+        wk = _Kernel((context.shape[-1], inner), name="to_k")()
+        wv = _Kernel((context.shape[-1], inner), name="to_v")()
+        if self_attn:
+            q, k, v = fused_proj(self, x, [wq, wk, wv], self.dtype)
+        else:
+            (q,) = fused_proj(self, x, [wq], self.dtype)
+            k, v = fused_proj(self, context, [wk, wv], self.dtype, suffix="_kv")
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
@@ -91,11 +112,29 @@ class CrossAttention(nn.Module):
         flash_attention_nomax. None outside the int8 serving policy."""
         from vdtpu.ops.quant import get_policy
         if get_policy() == "int8_calib" and mask is None:
-            s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                           k.astype(jnp.float32)) * (q.shape[-1] ** -0.5)
             # per-head bound: head logit ranges differ wildly in trained
-            # attention; a shared site max would underflow cold heads' rows
-            self.sow("quant_calib", "attn_logit_max", jnp.max(s, axis=(0, 2, 3)),
+            # attention; a shared site max would underflow cold heads' rows.
+            # The max is accumulated over query chunks — the full [B,H,N,N]
+            # f32 logit tensor of a 4096-token site is ~0.5-1 GB and OOMs
+            # full-resolution calibration (ADVICE r2).
+            scale = q.shape[-1] ** -0.5
+            qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+            bq, nq = qf.shape[0], qf.shape[1]
+            chunk = 256
+            if nq % chunk or nq <= chunk:
+                s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+                mx = jnp.max(s, axis=(0, 2, 3))
+            else:
+                qc = jnp.moveaxis(
+                    qf.reshape(bq, nq // chunk, chunk, *qf.shape[2:]), 1, 0)
+
+                def body(carry, qblk):
+                    s = jnp.einsum("bqhd,bkhd->bhqk", qblk, kf) * scale
+                    return jnp.maximum(carry, jnp.max(s, axis=(0, 2, 3))), None
+
+                mx, _ = jax.lax.scan(
+                    body, jnp.full((self.heads,), -jnp.inf, jnp.float32), qc)
+            self.sow("quant_calib", "attn_logit_max", mx,
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.full((self.heads,), -1e30, jnp.float32))
             return None

@@ -24,6 +24,7 @@ import os
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _POLICY: str | None = None
@@ -114,6 +115,66 @@ class _QBase(nn.Module):
         return self._act(h)
 
 
+def fused_proj(owner: nn.Module, x, kernels, dtype, suffix: str = ""):
+    """Project ``x`` through several kernels sharing ONE activation quantize.
+
+    Used by transformer.CrossAttention for the q/k/v projections: under the
+    int8 policy each QDense call site quantizes its input separately, so the
+    self-attention sites pay three identical bf16->s8 passes over the same
+    tensor (part of the 34%-of-step convert bucket, PERF.md r2 batch-16
+    trace). Here the input is quantized once; outputs are numerically
+    IDENTICAL to the unfused path because (a) weight scales are
+    per-output-channel either way and (b) the per-site activation scales were
+    already equal (same input tensor -> same calibrated absmax).
+
+    ``owner`` holds the calibration state at its own scope ("act_scale" /
+    "w_q" (+``suffix``) in the 'quant' collection — calibrate() recognizes
+    fused sites in _attach_weight_tables). Returns one output per kernel.
+
+    VDTPU_QKV=packed additionally concatenates the kernels into a single
+    wide matmul and splits the result — a bigger MXU op, but the split
+    materializes copies; measured per-backend.
+    """
+    pol = get_policy()
+    if pol is None:
+        xc = x.astype(dtype)
+        return [xc @ w.astype(dtype) for w in kernels]
+    nbatch = x.ndim - 1
+    if pol == "int8_calib":
+        owner.sow("quant_calib", "act_absmax" + suffix,
+                  jnp.max(jnp.abs(x.astype(jnp.float32))),
+                  reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+        xq, s_x = _quantize_act(x)
+        tables = [_quantize_weight(w, (0,)) for w in kernels]
+    else:
+        s = (owner.get_variable("quant", "act_scale" + suffix)
+             if owner.has_variable("quant", "act_scale" + suffix) else None)
+        xq, s_x = _quantize_act(x, s)
+        if owner.has_variable("quant", "w_q" + suffix):
+            wq_all = owner.get_variable("quant", "w_q" + suffix)
+            sw_all = owner.get_variable("quant", "w_scale" + suffix)
+            tables, off = [], 0
+            for w in kernels:
+                f = w.shape[-1]
+                tables.append((wq_all[:, off:off + f], sw_all[:, off:off + f]))
+                off += f
+        else:
+            tables = [_quantize_weight(w, (0,)) for w in kernels]
+
+    def matmul(wq, s_w):
+        y = lax.dot_general(xq, wq, (((nbatch,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_x * s_w.reshape((1,) * nbatch + (-1,)))
+        return y.astype(dtype)
+
+    if os.environ.get("VDTPU_QKV", "shared") == "packed" and len(kernels) > 1:
+        feats = [w.shape[-1] for w in kernels]
+        wq = jnp.concatenate([t[0] for t in tables], axis=-1)
+        sw = jnp.concatenate([t[1] for t in tables], axis=-1)
+        return jnp.split(matmul(wq, sw), np.cumsum(feats)[:-1], axis=-1)
+    return [matmul(wq, sw) for wq, sw in tables]
+
+
 def _merge_max(a, b):
     if a is None:
         return b
@@ -129,9 +190,9 @@ def _to_scales(tree):
     """quant_calib collection (sow'd absmax tuples) -> 'quant' collection."""
     out = {}
     for k, v in tree.items():
-        if k == "act_absmax":
+        if k.startswith("act_absmax"):  # suffixed at fused sites ("_kv")
             (m,) = v if isinstance(v, tuple) else (v,)
-            out["act_scale"] = jnp.maximum(m / 127.0, 1e-10)
+            out["act_scale" + k[len("act_absmax"):]] = jnp.maximum(m / 127.0, 1e-10)
         elif k == "attn_logit_max":
             # max scaled logit observed -> softmax shift for the no-max
             # serving kernel (transformer.CrossAttention._logit_shift)
@@ -187,31 +248,44 @@ def _attach_weight_tables(scales: dict, params):
     calibration; their param subtree holds the f32/bf16 kernel. One jitted
     pass quantizes everything (per-leaf eager dispatch is slow through a
     remote-device tunnel)."""
-    sites = []
+    sites = []  # (scales path, key suffix, [kernels to concat])
 
     def walk(sc, pp, path):
         for k, v in list(sc.items()):
             if isinstance(v, dict):
                 sub = pp.get(k, {}) if hasattr(pp, "get") else {}
-                if "act_scale" in v and "kernel" in sub:
-                    sites.append((path + (k,), sub["kernel"]))
+                if "act_scale" in v:
+                    if "kernel" in sub:
+                        sites.append((path + (k,), "", [sub["kernel"]]))
+                    elif "to_q" in sub:
+                        # fused q/k/v site (transformer.CrossAttention via
+                        # fused_proj): cross-attention splits into a q site
+                        # ("") and a k|v site ("_kv") on the context input
+                        names = ("to_q",) if "act_scale_kv" in v \
+                            else ("to_q", "to_k", "to_v")
+                        sites.append((path + (k,), "",
+                                      [sub[n]["kernel"] for n in names]))
+                if "act_scale_kv" in v and "to_k" in sub:
+                    sites.append((path + (k,), "_kv",
+                                  [sub["to_k"]["kernel"], sub["to_v"]["kernel"]]))
                 walk(v, sub, path + (k,))
 
     walk(scales, params, ())
 
     @jax.jit
-    def qall(kernels):
+    def qall(kernel_groups):
         out = []
-        for kern in kernels:
+        for kerns in kernel_groups:
+            kern = kerns[0] if len(kerns) == 1 else jnp.concatenate(kerns, axis=-1)
             out.append(_quantize_weight(kern, tuple(range(kern.ndim - 1))))
         return out
 
-    tables = qall([k for _, k in sites])
-    for (path, _), (wq, sw) in zip(sites, tables):
+    tables = qall([ks for _, _, ks in sites])
+    for (path, suffix, _), (wq, sw) in zip(sites, tables):
         node = scales
         for k in path:
             node = node[k]
-        node["w_q"], node["w_scale"] = wq, sw
+        node["w_q" + suffix], node["w_scale" + suffix] = wq, sw
 
 
 class QConv(_QBase):
