@@ -39,6 +39,30 @@ def test_flash_gradient_small_blocks():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+def test_flash_gradient_bf16_inputs():
+    """Bounds the bf16 fwd/bwd asymmetry (ADVICE r2): the forward folds the
+    softmax scale into q in the input dtype while the backward kernels
+    recompute probabilities from f32 (q.k)*scale; on bf16 inputs the
+    forward-saved lse and backward-recomputed p diverge slightly. Parity vs
+    the XLA vjp on the same bf16 inputs within bf16-scale tolerance."""
+    rs = np.random.RandomState(5)
+    mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32)).astype(jnp.bfloat16)
+    q, k, v = mk(1, 128, 2, 40), mk(1, 128, 2, 40), mk(1, 128, 2, 40)
+    g = jnp.asarray(rs.randn(1, 128, 2, 40).astype(np.float32))
+
+    f_flash = lambda q, k, v: (flash_attention(
+        q, k, v, block_q=64, block_k=64, interpret=True
+    ).astype(jnp.float32) * g).sum()
+    f_ref = lambda q, k, v: (_xla_attention(
+        q, k, v, None, 40 ** -0.5).astype(jnp.float32) * g).sum()
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.03, rtol=0.05)
+
+
 @pytest.mark.parametrize("n,m,d,h", [(256, 256, 40, 2), (128, 77, 64, 1)])
 def test_flash_backward_kernels_match_xla(n, m, d, h):
     """The Pallas backward kernels (dq, dk/dv) vs the XLA attention vjp."""

@@ -104,16 +104,34 @@ class CachedCompile:
         self._store(compiled)
         return compiled
 
+    def _signature_mismatch(self, args) -> bool:
+        """True when the args' avals differ from the cached executable's.
+
+        Checked BEFORE invoking: a blanket except around the call would
+        mask genuine runtime failures (OOM, transfer errors) behind a
+        confusing minutes-long recompile-then-fail cycle (ADVICE r2)."""
+        try:
+            info = jax.tree_util.tree_leaves(self._compiled.args_info)
+            flat = jax.tree_util.tree_leaves(args)
+            if len(info) != len(flat):
+                return True
+            from jax.api_util import shaped_abstractify
+            for i, a in zip(info, flat):
+                aval = shaped_abstractify(a)
+                if (tuple(i.aval.shape) != tuple(aval.shape)
+                        or i.aval.dtype != aval.dtype):
+                    return True
+            return False
+        except Exception:
+            return False  # introspection unavailable: call as-is
+
     def __call__(self, *args):
         if self._compiled is None:
             with self._lock:
                 if self._compiled is None:
                     self._compiled = self._try_load() or self._compile(args)
-        try:
-            return self._compiled(*args)
-        except Exception:
-            # deserialized executable incompatible with these args
-            # (shape/dtype drift): recompile once
+        if self._signature_mismatch(args):
+            # stale cached executable (shape/dtype drift): recompile once
             with self._lock:
                 self._compiled = self._compile(args)
-            return self._compiled(*args)
+        return self._compiled(*args)
