@@ -7,25 +7,7 @@ import numpy as np
 import pytest
 
 from vdtpu.data.webdataset import ImageTextPipeline, ShardIndex, tar_samples
-
-
-def _make_shard(path, n, offset=0):
-    from PIL import Image
-    with tarfile.open(path, "w") as tf:
-        for i in range(n):
-            key = f"{offset + i:06d}"
-            img = Image.fromarray(
-                (np.random.RandomState(i).rand(40, 30, 3) * 255).astype(np.uint8))
-            buf = io.BytesIO()
-            img.save(buf, format="JPEG")
-            data = buf.getvalue()
-            info = tarfile.TarInfo(f"{key}.jpg")
-            info.size = len(data)
-            tf.addfile(info, io.BytesIO(data))
-            cap = f"caption {offset + i}".encode()
-            info = tarfile.TarInfo(f"{key}.txt")
-            info.size = len(cap)
-            tf.addfile(info, io.BytesIO(cap))
+from _tiny import make_shard as _make_shard
 
 
 @pytest.fixture()
