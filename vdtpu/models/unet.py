@@ -288,13 +288,13 @@ class UNetBase(nn.Module):
         emb = self.time_embedding(timesteps, x.dtype)
         return self.walk(x, emb, context, self, self)
 
-    def walk(self, x, emb, context, data_host: "UNetBase", ctx_host: "UNetBase"):
-        """Walk this diffuser's program; data blocks come from `data_host`,
+    def _run_tokens(self, tokens, h, hs, emb, context,
+                    data_host: "UNetBase", ctx_host: "UNetBase",
+                    di: int = 0, ci: int = 0):
+        """Dispatch a token subsequence; data blocks come from `data_host`,
         context blocks from `ctx_host` (cross-flow mixing, vd.py:344-345)."""
-        hs = []
-        di = ci = 0
-        h = x
-        for token in self.program.layer_order:
+        hs = list(hs)
+        for token in tokens:
             if token == D:
                 h = data_host.run_data(di, h, emb)
                 di += 1
@@ -305,6 +305,32 @@ class UNetBase(nn.Module):
                 hs.append(h)
             elif token == LOAD:
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
+        return h, hs
+
+    def walk(self, x, emb, context, data_host: "UNetBase", ctx_host: "UNetBase"):
+        """Full program walk."""
+        h, _ = self._run_tokens(self.program.layer_order, x, [], emb, context,
+                                data_host, ctx_host)
+        return h
+
+    def _encoder_counts(self) -> tuple[int, int]:
+        return (sum(1 for t in self.program.i_order if t == D),
+                sum(1 for t in self.program.i_order if t == C))
+
+    def walk_encoder(self, x, emb, context, data_host, ctx_host):
+        """Input-half walk (i_order): returns (h, skip stack) — the state
+        reused across adjacent timesteps by the encoder-reuse serving mode
+        (Faster Diffusion, arXiv 2312.09608)."""
+        h, hs = self._run_tokens(self.program.i_order, x, [], emb, context,
+                                 data_host, ctx_host)
+        return h, tuple(hs)
+
+    def walk_decoder(self, h, hs, emb, context, data_host, ctx_host):
+        """Mid + output walk from a (possibly cached) encoder state."""
+        di, ci = self._encoder_counts()
+        h, _ = self._run_tokens(self.program.m_order + self.program.o_order,
+                                h, list(hs), emb, context,
+                                data_host, ctx_host, di=di, ci=ci)
         return h
 
 

@@ -61,6 +61,39 @@ class MultiDiffuser(nn.Module):
         host = self.unets[x_type]
         return host.walk(x, emb, context, host, self.unets[c_type])
 
+    def apply_flow_encoder(self, x, timesteps, context, x_type: str, c_type: str):
+        """Encoder half only — used to shape/seed the encoder-reuse cache."""
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+        return host.walk_encoder(x, emb, context, host, self.unets[c_type])
+
+    def apply_flow_encreuse(self, x, timesteps, context, x_type: str,
+                            c_type: str, cache, use_cache):
+        """apply_flow with encoder-feature reuse (Faster Diffusion,
+        arXiv 2312.09608): on reuse steps (`use_cache` true) the encoder half
+        is skipped and the previous key step's (h, skips) drive the decoder
+        at the CURRENT timestep embedding. Approximate serving mode — the
+        exact path stays `apply_flow`; quality gate in tests/test_encreuse.py
+        and PERF.md. Returns (eps, cache)."""
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+        ctx_host = self.unets[c_type]
+
+        def compute(x, emb, context, cache):
+            h, hs = host.walk_encoder(x, emb, context, host, ctx_host)
+            return (h, hs)
+
+        def reuse(x, emb, context, cache):
+            return cache
+
+        # both branches are pure reads of bound variables (no sow: the int8
+        # calibration pass never runs through this method), so a plain
+        # lax.cond is safe inside linen apply
+        cache = jax.lax.cond(use_cache, reuse, compute, x, emb, context, cache)
+        h, hs = cache
+        out = host.walk_decoder(h, hs, emb, context, host, ctx_host)
+        return out, cache
+
     def apply_flow_multicontext(
             self, x, timesteps, contexts, ratios, x_type: str,
             c_types: Sequence[str], mixing_type: str = "attention",
@@ -234,6 +267,20 @@ class VDModel:
         linen diffuser sees."""
         return {k: v for k, v in params.items() if k != "logvar"} \
             if "logvar" in params else params
+
+    def apply_model_encoder(self, params, x, timesteps, context,
+                            x_type: str, c_type: str):
+        """Encoder-half apply (cache shapes/values for encoder reuse)."""
+        return self.diffuser.apply(
+            self._variables(params), x, timesteps, context, x_type, c_type,
+            method=MultiDiffuser.apply_flow_encoder)
+
+    def apply_model_encreuse(self, params, x, timesteps, context,
+                             x_type: str, c_type: str, cache, use_cache):
+        """apply_model with encoder-feature reuse (see apply_flow_encreuse)."""
+        return self.diffuser.apply(
+            self._variables(params), x, timesteps, context, x_type, c_type,
+            cache, use_cache, method=MultiDiffuser.apply_flow_encreuse)
 
     def apply_model_multicontext(self, params, x, timesteps, contexts, ratios,
                                  x_type: str, c_types: Sequence[str],

@@ -113,6 +113,72 @@ def ddim_scan(
     return x
 
 
+def encoder_reuse_schedule(steps: int, interval: int = 2,
+                           warmup: int = 5) -> np.ndarray:
+    """Key-step mask for the encoder-reuse serving mode (arXiv 2312.09608).
+
+    True = recompute the encoder. Early steps stay dense (encoder features
+    drift fastest at high noise — the paper's non-uniform key set), then
+    every `interval`-th step is a key step. interval=1 degenerates to the
+    exact path (every step computes)."""
+    mask = np.zeros((steps,), bool)
+    mask[:warmup] = True
+    mask[warmup::interval] = True
+    return mask
+
+
+def ddim_scan_encreuse(
+    eps_fn: Callable,          # (x, t[B], use_cache, cache) -> (eps, cache)
+    x_init, key, tables: DDIMTables, key_mask, cache_init,
+    temperature: float = 1.0, noise_dropout: float = 0.0,
+):
+    """ddim_scan with an encoder-feature cache threaded through the carry.
+
+    Approximate serving mode (opt-in; NEVER the exact-DDIM default): on
+    steps where key_mask is False, eps_fn reuses the cached encoder state
+    and only the UNet decoder runs (lax.cond skips the encoder compute).
+    """
+    ts, al, alp, sig, som = tables.stacked()
+    n = ts.shape[0]
+    bsz = x_init.shape[0]
+
+    def step(carry, inp):
+        x, key, cache = carry
+        i, t, a_t, a_prev, sigma, s1m, is_key = inp
+        key, sub = jax.random.split(key)
+        t_b = jnp.full((bsz,), t, jnp.int32)
+        eps, cache = eps_fn(x, t_b, jnp.logical_not(is_key), cache)
+        x_next, _ = _ddim_update(x, eps, a_t, a_prev, sigma, s1m, sub,
+                                 temperature, noise_dropout)
+        return (x_next, key, cache), None
+
+    xs = (jnp.arange(n), ts, al, alp, sig, som,
+          jnp.asarray(np.asarray(key_mask, bool)))
+    (x, _, _), _ = jax.lax.scan(step, (x_init, key, cache_init), xs)
+    return x
+
+
+def cfg_eps_fn_stateful(apply_model: Callable, cond, uncond,
+                        scale: float) -> Callable:
+    """cfg_eps_fn for stateful (encoder-reuse) model applies:
+    apply_model(x2, t2, c2, use_cache, cache) -> (eps2, cache)."""
+    if scale == 1.0 or uncond is None:
+        def eps_nocfg(x, t, use_cache, cache):
+            return apply_model(x, t, cond, use_cache, cache)
+        return eps_nocfg
+
+    c_in = jnp.concatenate([uncond, cond], axis=0)
+
+    def eps(x, t, use_cache, cache):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        e, cache = apply_model(x_in, t_in, c_in, use_cache, cache)
+        e_u, e_c = jnp.split(e, 2, axis=0)
+        return e_u + scale * (e_c - e_u), cache
+
+    return eps
+
+
 def cfg_eps_fn(apply_model: Callable, cond, uncond, scale: float) -> Callable:
     """Classifier-free-guided epsilon: one 2x-batched model call (ref :144-150)."""
     if scale == 1.0 or uncond is None:
@@ -211,11 +277,17 @@ class DDIMSampler:
     def sample(self, params, key, steps, shape, x_info, c_info,
                eta=0.0, temperature=1.0, noise_dropout=0.0,
                return_intermediates=False, dtype=jnp.float32,
-               noise_table=None):
+               noise_table=None, encoder_reuse=None):
         """Single-context sampling with CFG (ref ddim.py:58-127).
 
         noise_table (and x_info['noise'] in x0 mode) inject captured torch
-        noise for bit-comparability (interop/noise.py)."""
+        noise for bit-comparability (interop/noise.py).
+
+        encoder_reuse: opt-in APPROXIMATE serving mode (off by default —
+        the exact DDIM path is the headline): int reuse interval or
+        {"interval": k, "warmup": w}; non-key steps skip the UNet encoder
+        and reuse cached features (Faster Diffusion, arXiv 2312.09608).
+        Quality gate: tests/test_encreuse.py + PERF.md."""
         x_type = x_info["type"]
         c_type = c_info["type"]
         scale = float(c_info.get("unconditional_guidance_scale", 1.0))
@@ -227,10 +299,18 @@ class DDIMSampler:
         shape = tuple(int(s) for s in shape)
         has_ntab = noise_table is not None
         has_qn = mode == "x0" and x_info.get("noise") is not None
+        enc_spec = None
+        if encoder_reuse:
+            enc_spec = dict(encoder_reuse) if isinstance(encoder_reuse, Mapping) \
+                else {"interval": int(encoder_reuse)}
+            if has_ntab or return_intermediates:
+                raise ValueError("encoder_reuse is incompatible with "
+                                 "noise_table / return_intermediates")
         cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
                      mode, k, float(temperature), float(noise_dropout),
                      bool(return_intermediates), uncond_is_none, str(dtype),
-                     has_ntab, has_qn)
+                     has_ntab, has_qn,
+                     None if enc_spec is None else tuple(sorted(enc_spec.items())))
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
@@ -246,6 +326,25 @@ class DDIMSampler:
                     if has_qn:
                         xi["noise"] = qn
                 x, tbl = self._x_init(sub, shape, xi, tables, dtype)
+                if enc_spec is not None:
+                    cfg_on = not (scale == 1.0 or uncond_is_none)
+                    bsz_eff = shape[0] * (2 if cfg_on else 1)
+                    ctx_dim = cond.shape[1:]
+                    mask = encoder_reuse_schedule(len(tbl.timesteps), **enc_spec)
+                    cache_shapes = jax.eval_shape(
+                        lambda p: self.model.apply_model_encoder(
+                            p, jnp.zeros((bsz_eff,) + shape[1:], dtype),
+                            jnp.zeros((bsz_eff,), jnp.int32),
+                            jnp.zeros((bsz_eff,) + ctx_dim, dtype),
+                            x_type, c_type), params)
+                    cache0 = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+                    eps = cfg_eps_fn_stateful(
+                        lambda xx, tt, cc, uc, cache: self.model.apply_model_encreuse(
+                            params, xx, tt, cc, x_type, c_type, cache, uc),
+                        cond, None if uncond_is_none else uncond, scale)
+                    return ddim_scan_encreuse(eps, x, key, tbl, mask, cache0,
+                                              temperature, noise_dropout)
                 eps = cfg_eps_fn(
                     lambda xx, tt, cc: self.model.apply_model(
                         params, xx, tt, cc, x_type, c_type),
