@@ -116,6 +116,56 @@ def test_calibrated_static_scales():
     m_q.quant_scales = None
 
 
+def test_int8_trajectory_gate():
+    """Trajectory-level int8 gate (VERDICT r2 task 2): a full DDIM sample
+    under calibrated int8 must stay within bounded divergence of the exact
+    f32 path — per-step latent cosine and final relative error — not just
+    the single-step eps cosine of test_int8_outputs_track_f32. Fails if the
+    int8 path drifts."""
+    from vdtpu.sampling.ddim import DDIMSampler
+    m_f, m_q = _models()
+    quant.set_policy(None)
+    params = _fill_zero_leaves(m_f.init_params(jax.random.PRNGKey(0)),
+                               jax.random.PRNGKey(7))
+    cond = jnp.asarray(np.random.RandomState(5).randn(2, 7, 16)
+                       .astype(np.float32)) * 0.5
+    uncond = jnp.zeros_like(cond)
+    c_info = {"type": "text", "conditioning": cond,
+              "unconditional_conditioning": uncond,
+              "unconditional_guidance_scale": 5.0}
+    key = jax.random.PRNGKey(11)
+
+    def run(model):
+        x, inter = DDIMSampler(model).sample(
+            params if quant.get_policy() is None
+            else {"params": params, "quant": model.quant_scales},
+            key, steps=10, shape=(2, 8, 8, 4), x_info={"type": "image"},
+            c_info=c_info, return_intermediates=True)
+        return np.asarray(x, np.float64), np.asarray(inter["pred_xt"], np.float64)
+
+    x_ref, traj_ref = run(m_f)
+
+    quant.set_policy("int8")
+    flows = []
+    for i, tt in enumerate((0, 25, 50, 75, 99)):
+        rs = np.random.RandomState(100 + i)
+        flows.append((jnp.asarray(rs.randn(4, 8, 8, 4).astype(np.float32)),
+                      jnp.full((4,), tt, jnp.int32),
+                      jnp.asarray(rs.randn(4, 7, 16).astype(np.float32)) * 0.5,
+                      "image", "text"))
+    quant.calibrate(m_q, params, flows)
+    x_q, traj_q = run(m_q)
+    m_q.quant_scales = None
+
+    # per-step divergence: cosine of the predicted x_t at every step
+    for s in range(traj_ref.shape[0]):
+        a, b = traj_ref[s].ravel(), traj_q[s].ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.98, (s, cos)
+    rel = np.abs(x_q - x_ref).mean() / (np.abs(x_ref).mean() + 1e-9)
+    assert rel < 0.25, rel
+
+
 def test_quant_primitives_roundtrip():
     from vdtpu.ops.quant import _quantize_act, _quantize_weight
     rs = np.random.RandomState(1)
