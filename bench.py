@@ -1,26 +1,38 @@
 """Headline benchmark: 512^2 DDIM-50 text-to-image throughput per chip.
 
-Runs the full serving path (conditioning -> 50-step CFG-batched UNet scan ->
-KL-f8 decode) on the available accelerator with random bf16 weights
+Runs the full serving path (CLIP conditioning -> 50-step CFG-batched UNet
+scan -> KL-f8 decode) on the available accelerator with random bf16 weights
 (numerics identical to converted checkpoints; no pretrained blobs in this
 environment). Prints ONE JSON line.
 
 The headline is measured at the chip's throughput operating point (batch 8:
-the step saturates there, PERF.md "Batch scaling") — the north star metric
-is images/s/chip, i.e. throughput, and production serving batches requests.
-The batch-2 latency point (the reference app's operating shape,
-app.py:300-320) is measured too and reported in the same JSON line as
-`batch2_images_per_sec` for round-over-round comparability with BENCH_r01.
+the step saturates there, PERF.md "Batch scaling") — the north-star metric
+is images/s/chip, i.e. throughput, and production serving batches requests;
+the metric string carries the operating point explicitly (ADVICE r2). The
+batch-2 latency point (the reference app's operating shape, app.py:300-320)
+is reported as `batch2_images_per_sec` AND as `p50_latency_s` (BASELINE.json
+names p50 e2e sample latency as a tracked quantity).
+
+Conditioning is realistic: CLIP-text-encoded random token ids drive BOTH
+int8 calibration and sampling (VERDICT r2 task 2c) — not zeros.
+
+Cold start: the jax persistent compilation cache lives in a repo-local dir
+(survives driver runs on the same filesystem); `first_image_s` reports the
+compile+first-run time and `warm_boot` whether the cache was primed.
 
 vs_baseline: the reference has no published numbers; BASELINE.md derives
 the A100 figure from exact FLOP counts — 0.85 img/s = 22.6% A100 MFU,
 deliberately above anything published for the reference's implementation
 class (eager fp16 torch, einsum attention), at ANY batch size, so
 vs_baseline is a lower bound. vs_baseline = throughput / 0.85.
+
+The opt-in encoder-reuse approximate mode (Faster Diffusion; quality table
+in PERF.md) is reported as a SECONDARY field, never the headline.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,41 +41,59 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 A100_REFERENCE_IMGS_PER_SEC = 0.85
+CACHE_DIR = os.environ.get(
+    "VDTPU_BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      ".jaxcache"))
 
 
 def main():
-    import os
-
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
+    warm = os.path.isdir(CACHE_DIR) and len(os.listdir(CACHE_DIR)) > 0
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
+    import numpy as np
     from vdtpu.config.bank import model_cfg_bank
+    from vdtpu.config.registry import build
+    from vdtpu.models.autoencoder import AutoencoderKL
     from vdtpu.models.vd import VDModel
     from vdtpu.ops import quant
     from vdtpu.sampling.ddim import DDIMTables, cfg_eps_fn, ddim_scan
-    from vdtpu.models.autoencoder import AutoencoderKL
-    from vdtpu.config.registry import build
 
-    # serving policy: calibrated int8 diffuser (10% faster step, eps cosine
-    # > 0.99 vs bf16 — tests/test_quant.py); VDTPU_BENCH_POLICY=none for bf16
+    # serving policy: calibrated int8 diffuser (+41% over bf16 at batch 8,
+    # PERF.md r3; trajectory+decode quality gates in tests/test_quant.py and
+    # PERF.md "int8 quality"); VDTPU_BENCH_POLICY=none for bf16
     policy = os.environ.get("VDTPU_BENCH_POLICY", "int8")
-    quant.set_policy(None if policy == "none" else policy)
-
     dtype = jnp.bfloat16
     n_samples, steps = 2, 50
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+
+    # ---- realistic conditioning: CLIP text tower on random token ids ----
+    # (built under the null policy: the one-time encode isn't part of the
+    # timed path and needs no quantization)
+    quant.set_policy(None)
+    t0 = time.perf_counter()
+    clip = build(dict(cfgm["args"]["ctx_cfg_list"])["text"], dtype=dtype)
+    ids_c = jax.random.randint(jax.random.PRNGKey(5), (1, 77), 0, 49408)
+    ids_u = jnp.full((1, 77), 49407, jnp.int32)  # empty-prompt stand-in
+    cparams = jax.jit(clip.init)(jax.random.PRNGKey(2), ids_c)["params"]
+    cparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), cparams)
+    enc = jax.jit(lambda p, i: clip.apply({"params": p}, i))
+    cond1 = enc(cparams, ids_c).astype(dtype)
+    uncond1 = enc(cparams, ids_u).astype(dtype)
+    jax.block_until_ready((cond1, uncond1))
+    log(f"CLIP conditioning {time.perf_counter() - t0:.1f}s")
+
+    quant.set_policy(None if policy == "none" else policy)
     model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
     t0 = time.perf_counter()
-    # shapes via eval_shape + ONE fused on-device fill (per-leaf dispatch
-    # costs ~80s through the device tunnel); timing is weight-value
-    # independent, so this replaces the 2-minute full-init compile
+    # shapes via eval_shape + per-leaf on-device fill: timing is
+    # weight-value independent and this beats both the full-init compile
+    # (~2 min) and a fused fill graph (8 min AOT) through the tunnel
     shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
                             jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     key = jax.random.PRNGKey(0)
-    # per-leaf dispatch (~80s through the tunnel) beats both the full-init
-    # compile (~2 min) and a single fused fill graph (8 min AOT compile)
     params = treedef.unflatten([
         jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
         for i, l in enumerate(leaves)])
@@ -74,13 +104,14 @@ def main():
         t0 = time.perf_counter()
         flows = []
         for i, tt in enumerate((0, 250, 500, 750, 999)):
+            ctx = jnp.concatenate([
+                jnp.tile(uncond1, (n_samples, 1, 1)),
+                jnp.tile(cond1, (n_samples, 1, 1))], axis=0)
             flows.append((
                 jax.random.normal(jax.random.fold_in(key, 1000 + i),
                                   (2 * n_samples, 64, 64, 4), dtype),
                 jnp.full((2 * n_samples,), tt, jnp.int32),
-                jax.random.normal(jax.random.fold_in(key, 2000 + i),
-                                  (2 * n_samples, 77, 768), dtype) * 0.5,
-                "image", "text"))
+                ctx, "image", "text"))
         scales = quant.calibrate(model, params, flows)
         model.quant_scales = None  # thread as a jit argument, not a constant
         params = {"params": params, "quant": scales}
@@ -98,31 +129,55 @@ def main():
 
     tables = DDIMTables.create(model.schedule, steps, eta=0.0)
 
-    def make_t2i(n: int):
-        @jax.jit
+    def make_t2i(n: int, encreuse: int = 0):
         def t2i(params, vparams, cond, uncond, key):
-            eps = cfg_eps_fn(
-                lambda x, t, c: model.apply_model(params, x, t, c, "image", "text"),
-                cond, uncond, 7.5)
             x = jax.random.normal(key, (n, 64, 64, 4), dtype)
-            x = ddim_scan(eps, x, key, tables)
+            if encreuse:
+                from vdtpu.sampling.ddim import (
+                    cfg_eps_fn_stateful, ddim_scan_encreuse,
+                    encoder_reuse_schedule)
+                mask = encoder_reuse_schedule(steps, interval=encreuse, warmup=5)
+                cache_shapes = jax.eval_shape(
+                    lambda p: model.apply_model_encoder(
+                        p, jnp.zeros((2 * n, 64, 64, 4), dtype),
+                        jnp.zeros((2 * n,), jnp.int32),
+                        jnp.zeros((2 * n, 77, 768), dtype), "image", "text"),
+                    params)
+                cache0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+                eps = cfg_eps_fn_stateful(
+                    lambda xx, tt, cc, uc, cache: model.apply_model_encreuse(
+                        params, xx, tt, cc, "image", "text", cache, uc),
+                    cond, uncond, 7.5)
+                x = ddim_scan_encreuse(eps, x, key, tables, mask, cache0)
+            else:
+                eps = cfg_eps_fn(
+                    lambda x_, t, c: model.apply_model(params, x_, t, c,
+                                                       "image", "text"),
+                    cond, uncond, 7.5)
+                x = ddim_scan(eps, x, key, tables)
             z = model.unscale_latent(x, "image")
             return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
-        return t2i
+        return jax.jit(t2i)
 
     import numpy as np
     key = jax.random.PRNGKey(42)
+    first_image_s = None
 
-    def measure(n: int, runs: int = 3) -> float:
-        """Median s/run at batch n with a forced scalar read-back per run
+    def measure(n: int, runs: int = 3, encreuse: int = 0):
+        """Median s/run with a forced scalar read-back per run
         (block_until_ready alone returns early on tunneled backends)."""
-        t2i = make_t2i(n)
-        cond = jnp.zeros((n, 77, 768), dtype)
-        uncond = jnp.zeros((n, 77, 768), dtype)
+        nonlocal first_image_s
+        t2i = make_t2i(n, encreuse)
+        cond = jnp.tile(cond1, (n, 1, 1))
+        uncond = jnp.tile(uncond1, (n, 1, 1))
         t0 = time.perf_counter()
         out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
         np.asarray(out[0, 0, 0, 0])
-        log(f"batch {n}: compile+first-run {time.perf_counter() - t0:.1f}s")
+        dt = time.perf_counter() - t0
+        if first_image_s is None:
+            first_image_s = dt
+        log(f"batch {n} encreuse={encreuse}: compile+first-run {dt:.1f}s")
         times = []
         for i in range(runs):
             t0 = time.perf_counter()
@@ -136,17 +191,28 @@ def main():
     dt2 = measure(n_samples)              # latency point (reference app shape)
     batch2 = n_samples / dt2
     tp_batch = int(os.environ.get("VDTPU_BENCH_TP_BATCH", "8"))
-    dt8 = measure(tp_batch)               # throughput point (step saturates, PERF.md)
+    dt8 = measure(tp_batch)               # throughput point (PERF.md)
     throughput = tp_batch / dt8
 
-    print(json.dumps({
-        "metric": "512px_ddim50_t2i_images_per_sec_per_chip",
+    result = {
+        "metric": f"512px_ddim50_t2i_images_per_sec_per_chip@batch{tp_batch}",
         "value": round(throughput, 4),
         "unit": "images/s",
         "vs_baseline": round(throughput / A100_REFERENCE_IMGS_PER_SEC, 3),
         "batch": tp_batch,
         "batch2_images_per_sec": round(batch2, 4),
-    }))
+        "p50_latency_s": round(dt2, 4),   # batch-2 single-request e2e latency
+        "first_image_s": round(first_image_s, 1),
+        "warm_boot": warm,
+        "policy": policy,
+    }
+    # opt-in approximate mode, reported as SECONDARY evidence (never the
+    # headline); quality table in PERF.md "Encoder reuse"
+    enc = int(os.environ.get("VDTPU_BENCH_ENCREUSE", "2") or 0)
+    if enc:
+        dte = measure(tp_batch, encreuse=enc)
+        result[f"encreuse{enc}_images_per_sec"] = round(tp_batch / dte, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

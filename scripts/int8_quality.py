@@ -1,0 +1,188 @@
+"""Full-size serving-path quality evidence (VERDICT r2 task 2a).
+
+50-step DDIM trajectory divergence of the approximate serving modes vs the
+exact bf16 path on the REAL vd_four_flow model (random weights — no
+pretrained blobs in this environment; the comparison isolates the serving
+approximations, which act identically on any weight values in distribution):
+
+  - calibrated int8 (the bench headline path),
+  - int8 + encoder reuse interval 2 / 3 (opt-in approximate mode).
+
+Conditioning is realistic: CLIP-text-encoded random token ids (LayerNormed
+encoder output statistics), NOT zeros — the same conditioning drives
+calibration and sampling. Same initial noise and PRNG keys everywhere.
+
+Reports per-step latent cosine/MSE vs bf16 and the decoded-image delta.
+Output: JSON (stdout) + markdown table rows (stderr) for PERF.md.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_quality.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from vdtpu.config.bank import model_cfg_bank
+    from vdtpu.config.registry import build
+    from vdtpu.models.autoencoder import AutoencoderKL
+    from vdtpu.models.vd import VDModel
+    from vdtpu.ops import quant
+    from vdtpu.sampling.ddim import (
+        DDIMTables, cfg_eps_fn, cfg_eps_fn_stateful, ddim_scan,
+        ddim_scan_encreuse, encoder_reuse_schedule)
+
+    dtype = jnp.bfloat16
+    n, steps = 2, 50
+    cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+
+    # ---- params (shared across all variants) ----
+    quant.set_policy(None)
+    model_f = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
+    t0 = time.perf_counter()
+    shapes = jax.eval_shape(lambda k: model_f.init_params(k, jit=False),
+                            jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    params = treedef.unflatten([
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+        for i, l in enumerate(leaves)])
+    jax.block_until_ready(params)
+    log(f"diffuser params {time.perf_counter() - t0:.1f}s")
+
+    # ---- realistic conditioning: CLIP text encoding of random token ids ----
+    t0 = time.perf_counter()
+    ctx_cfg = dict(cfgm["args"]["ctx_cfg_list"])["text"]
+    clip = build(ctx_cfg, dtype=dtype)
+    ids_c = jax.random.randint(jax.random.PRNGKey(5), (n, 77), 0, 49408)
+    ids_u = jnp.full((n, 77), 49407, jnp.int32)  # eot-padded "empty prompt"
+    cparams = jax.jit(clip.init)(jax.random.PRNGKey(2), ids_c)["params"]
+    cparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), cparams)
+    enc = jax.jit(lambda p, i: clip.apply({"params": p}, i))
+    cond = enc(cparams, ids_c).astype(dtype)
+    uncond = enc(cparams, ids_u).astype(dtype)
+    jax.block_until_ready((cond, uncond))
+    log(f"CLIP conditioning {time.perf_counter() - t0:.1f}s "
+        f"cond std {float(jnp.std(cond)):.3f}")
+
+    # ---- VAE (decode deltas) ----
+    vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
+    vae = build(vae_cfg, dtype=dtype)
+    vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))["params"]
+    vparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), vparams)
+    decode = jax.jit(lambda z: vae.apply(
+        {"params": vparams}, model_f.unscale_latent(z.astype(dtype), "image"),
+        method=AutoencoderKL.decode))
+
+    tables = DDIMTables.create(model_f.schedule, steps, eta=0.0)
+    skey = jax.random.PRNGKey(42)
+
+    def run_exact(model, p):
+        @jax.jit
+        def f(p, cond, uncond, key):
+            eps = cfg_eps_fn(
+                lambda x, t, c: model.apply_model(p, x, t, c, "image", "text"),
+                cond, uncond, 7.5)
+            x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+            return ddim_scan(eps, x, key, tables, return_intermediates=True)
+        x, inter = f(p, cond, uncond, skey)
+        return np.asarray(x, np.float32), np.asarray(inter["pred_xt"], np.float32)
+
+    def run_encreuse(model, p, interval):
+        mask = encoder_reuse_schedule(steps, interval=interval, warmup=5)
+
+        @jax.jit
+        def f(p, cond, uncond, key):
+            cache_shapes = jax.eval_shape(
+                lambda pp: model.apply_model_encoder(
+                    pp, jnp.zeros((2 * n, 64, 64, 4), dtype),
+                    jnp.zeros((2 * n,), jnp.int32),
+                    jnp.zeros((2 * n, 77, 768), dtype), "image", "text"), p)
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+            eps = cfg_eps_fn_stateful(
+                lambda xx, tt, cc, uc, cache: model.apply_model_encreuse(
+                    p, xx, tt, cc, "image", "text", cache, uc),
+                cond, uncond, 7.5)
+            x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+            return ddim_scan_encreuse(eps, x, key, tables, mask, cache0)
+        return np.asarray(f(p, cond, uncond, skey), np.float32)
+
+    # ---- exact bf16 reference ----
+    t0 = time.perf_counter()
+    x_ref, traj_ref = run_exact(model_f, params)
+    img_ref = np.asarray(decode(jnp.asarray(x_ref)), np.float32)
+    log(f"bf16 exact {time.perf_counter() - t0:.1f}s")
+
+    # ---- calibrated int8 ----
+    quant.set_policy("int8")
+    model_q = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
+    t0 = time.perf_counter()
+    flows = []
+    for i, tt in enumerate((0, 250, 500, 750, 999)):
+        flows.append((
+            jax.random.normal(jax.random.fold_in(key, 1000 + i),
+                              (2 * n, 64, 64, 4), dtype),
+            jnp.full((2 * n,), tt, jnp.int32),
+            jnp.concatenate([uncond, cond], 0), "image", "text"))
+    scales = quant.calibrate(model_q, params, flows)
+    model_q.quant_scales = None
+    pq = {"params": params, "quant": scales}
+    log(f"calibration {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    x_q, traj_q = run_exact(model_q, pq)
+    img_q = np.asarray(decode(jnp.asarray(x_q)), np.float32)
+    log(f"int8 exact {time.perf_counter() - t0:.1f}s")
+
+    variants = {"int8": (x_q, img_q)}
+    for interval in (2, 3):
+        t0 = time.perf_counter()
+        x_e = run_encreuse(model_q, pq, interval)
+        img_e = np.asarray(decode(jnp.asarray(x_e)), np.float32)
+        variants[f"int8+encreuse{interval}"] = (x_e, img_e)
+        log(f"encreuse{interval} {time.perf_counter() - t0:.1f}s")
+
+    def cos(a, b):
+        a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
+        return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    out = {"steps": steps, "batch": n, "conditioning": "clip_random_ids"}
+    # per-step trajectory divergence for int8 (the headline path)
+    step_cos = [cos(traj_ref[s], traj_q[s]) for s in range(steps)]
+    step_mse = [float(((traj_ref[s] - traj_q[s]) ** 2).mean()) for s in range(steps)]
+    out["int8_step_cos_min"] = min(step_cos)
+    out["int8_step_cos"] = [round(c, 5) for c in step_cos[::10]] + [round(step_cos[-1], 5)]
+    out["int8_step_mse_max"] = max(step_mse)
+    for name, (x_v, img_v) in variants.items():
+        rng = img_ref.max() - img_ref.min() + 1e-9
+        mae = float(np.abs(img_v - img_ref).mean())
+        psnr = 10 * np.log10(rng ** 2 / max(((img_v - img_ref) ** 2).mean(), 1e-12))
+        out[name] = {
+            "final_latent_cos": round(cos(x_v, x_ref), 5),
+            "final_latent_rel_err": round(
+                float(np.abs(x_v - x_ref).mean() / (np.abs(x_ref).mean() + 1e-9)), 5),
+            "decoded_mae": round(mae, 5),
+            "decoded_psnr_db": round(float(psnr), 2),
+        }
+    print(json.dumps(out), flush=True)
+    for name, m in out.items():
+        if isinstance(m, dict):
+            log(f"| {name} | {m['final_latent_cos']} | {m['final_latent_rel_err']} "
+                f"| {m['decoded_mae']} | {m['decoded_psnr_db']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Device-trace the CFG UNet scan step and print the op-class breakdown.
+
+Produces the PERF.md step-breakdown tables: a 20-step in-graph scan at the
+given batch (x2 CFG) under the chosen policy, traced with jax.profiler and
+aggregated by op class (vdtpu.utils.profiling.summarize_trace).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/trace_step.py --batch 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--policy", default="int8", choices=["int8", "none"])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--trace-dir", default="/tmp/vdtpu-trace")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from vdtpu.config.bank import model_cfg_bank
+    from vdtpu.models.vd import VDModel
+    from vdtpu.ops import quant
+    from vdtpu.utils.profiling import summarize_trace, trace
+
+    quant.set_policy(None if args.policy == "none" else args.policy)
+    dtype = jnp.bfloat16
+    n = args.batch
+    cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+    model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
+    shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
+                            jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    params = treedef.unflatten([
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+        for i, l in enumerate(leaves)])
+    jax.block_until_ready(params)
+    log("params ready")
+
+    if args.policy != "none":
+        flows = []
+        for i, tt in enumerate((0, 250, 500, 750, 999)):
+            flows.append((
+                jax.random.normal(jax.random.fold_in(key, 1000 + i),
+                                  (2 * n, 64, 64, 4), dtype),
+                jnp.full((2 * n,), tt, jnp.int32),
+                jax.random.normal(jax.random.fold_in(key, 2000 + i),
+                                  (2 * n, 77, 768), dtype) * 0.5,
+                "image", "text"))
+        scales = quant.calibrate(model, params, flows)
+        model.quant_scales = None
+        params = {"params": params, "quant": scales}
+        log("calibrated")
+
+    ctx = jax.random.normal(jax.random.fold_in(key, 7),
+                            (2 * n, 77, 768), dtype) * 0.5
+
+    @jax.jit
+    def scan20(params, x0, ctx):
+        def body(x, t):
+            e = model.apply_model(params, jnp.concatenate([x, x], 0),
+                                  jnp.full((2 * n,), t, jnp.int32), ctx,
+                                  "image", "text")
+            eu, ec = jnp.split(e, 2, axis=0)
+            return x - 0.01 * (eu + 7.5 * (ec - eu)), None
+        x, _ = jax.lax.scan(body, x0, jnp.arange(args.steps, dtype=jnp.int32))
+        return x
+
+    x0 = jax.random.normal(jax.random.fold_in(key, 8), (n, 64, 64, 4), dtype)
+    t0 = time.perf_counter()
+    out = scan20(params, x0, ctx)
+    np.asarray(out[0, 0, 0, 0])
+    log(f"compile+warm {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    out = scan20(params, x0, ctx)
+    np.asarray(out[0, 0, 0, 0])
+    base = time.perf_counter() - t0
+    log(f"steady {base:.3f}s ({1000*base/args.steps:.1f} ms/step)")
+
+    with trace(args.trace_dir):
+        out = scan20(params, x0, ctx)
+        np.asarray(out[0, 0, 0, 0])
+    classes = summarize_trace(args.trace_dir, top=24)
+    per_step = {k: round(v / args.steps, 3) for k, v in classes.items()}
+    print(json.dumps({"batch": n, "policy": args.policy,
+                      "ms_per_step_wall": round(1000 * base / args.steps, 2),
+                      "per_step_ms_by_class": per_step}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
