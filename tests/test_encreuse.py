@@ -85,6 +85,17 @@ def test_interval_one_equals_exact(tiny):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_vdinference_encoder_reuse_flag():
+    """API-level smoke: the opt-in flag threads through VDInference._sample
+    and the whole t2i flow stays finite."""
+    import numpy as np
+    from _tiny import make_tiny_vdi
+    vdi = make_tiny_vdi()
+    vdi.encoder_reuse = 2
+    img = np.asarray(vdi.inference_t2i("a village in the snow", 23))
+    assert img.shape[1:] == (64, 64, 3) and np.isfinite(img).all()
+
+
 def test_interval_two_runs_and_stays_close(tiny):
     model, params = tiny
     key = jax.random.PRNGKey(7)

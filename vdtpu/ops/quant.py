@@ -56,7 +56,17 @@ def _quantize_act(x, s=None):
 
     Static (calibrated) scales are strongly preferred on TPU: the dynamic
     absmax costs a full serialized pass over the activation before the conv
-    can start — measured 64 vs 38 ms/step on the full UNet (PERF.md r2)."""
+    can start — measured 64 vs 38 ms/step on the full UNet (PERF.md r2).
+
+    VDTPU_QUANT_BF16=1 runs the scale+round in bf16 instead of f32,
+    skipping one convert/relayout stage per pass (int8's (32,128) tiling
+    makes converts expensive); worst case one off-by-one code near +-127
+    (bf16 rel err 2^-8) — gated by the trajectory tests."""
+    if s is not None and os.environ.get("VDTPU_QUANT_BF16") == "1":
+        inv = (1.0 / s).astype(jnp.bfloat16)
+        xq = jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv),
+                      -127, 127).astype(jnp.int8)
+        return xq, s
     if s is None:
         s = jnp.max(jnp.abs(x.astype(jnp.float32)))
         s = jnp.maximum(s / 127.0, 1e-10)

@@ -223,7 +223,7 @@ class VDInference:
                  output_dim=(512, 512), ddim_steps=50, ddim_eta=0.0,
                  n_sample_image=2, n_sample_text=4,
                  image_latent_dim=4, text_latent_dim=768,
-                 latent_downsample=8, mesh=None):
+                 latent_downsample=8, mesh=None, encoder_reuse=None):
         self.sys = system
         # batch-parallel serving: with a mesh, conditioning tensors are
         # placed batch-sharded over the dp axis and every downstream op
@@ -241,6 +241,10 @@ class VDInference:
         self.text_latent_dim = text_latent_dim
         self.latent_downsample = latent_downsample
         self.text_temperature = 1.0
+        # opt-in APPROXIMATE serving mode (Faster Diffusion encoder reuse,
+        # sampling/ddim.py): int interval or {"interval","warmup"}; None =
+        # the exact DDIM path (default). Applies to single-context flows.
+        self.encoder_reuse = encoder_reuse
         self.adjust_rank_f = AdjustRank(max_drop_rank=(1, 5), q=20)
         self.disentanglement_noglobal = True
 
@@ -280,7 +284,8 @@ class VDInference:
         c_info = self._shard_batch(c_info)
         return self.sys.sampler.sample(
             self.sys.params["diffuser"], key, self.ddim_steps, shape,
-            x_info, c_info, eta=self.ddim_eta, dtype=self.sys.dtype)
+            x_info, c_info, eta=self.ddim_eta, dtype=self.sys.dtype,
+            encoder_reuse=self.encoder_reuse)
 
     def _sample_multi(self, key, shape, x_info, c_info_list):
         c_info_list = [self._shard_batch(ci) for ci in c_info_list]
