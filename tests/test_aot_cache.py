@@ -45,6 +45,34 @@ def test_cached_compile_roundtrip(tmp_path, monkeypatch):
     assert calls["compiles"] == 2
 
 
+def test_runtime_error_propagates_without_recompile(tmp_path, monkeypatch):
+    """ADVICE r2: a genuine runtime failure must surface, not disappear
+    behind a silent minutes-long recompile-and-retry."""
+    monkeypatch.setenv("VDTPU_AOT_CACHE", str(tmp_path))
+    from vdtpu.serving import aot
+
+    cc = aot.CachedCompile(lambda x: x + 1, key="kboom")
+    x = jnp.ones((4,))
+    np.testing.assert_allclose(np.asarray(cc(x)), 2.0)
+
+    compiles = {"n": 0}
+    orig = cc._compile
+
+    def counting(args):
+        compiles["n"] += 1
+        return orig(args)
+    cc._compile = counting
+
+    class Exploding:  # stands in for an executable hitting an OOM/transfer error
+        def __call__(self, *a):
+            raise RuntimeError("boom")
+
+    cc._compiled = Exploding()
+    with pytest.raises(RuntimeError, match="boom"):
+        cc(x)
+    assert compiles["n"] == 0  # no silent recompile cycle
+
+
 def test_sampler_uses_aot_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("VDTPU_AOT_CACHE", str(tmp_path))
     from vdtpu.ops.schedules import DiffusionSchedule

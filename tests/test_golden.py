@@ -82,6 +82,35 @@ def test_seeded_outputs_match_golden(vdi):
                 assert abs(gs[stat] - wv) < 5e-3, (key, stat, gs[stat], wv)
 
 
+GOLDEN_INT8 = os.path.join(os.path.dirname(__file__), "golden_int8.json")
+
+
+def test_t2i_int8_golden():
+    """int8 golden pin next to the bf16 ones (VERDICT r2 task 2b): the t2i
+    flow under the int8 serving policy must reproduce pinned output
+    statistics across runs/versions. Regenerate by deleting
+    tests/golden_int8.json and running twice."""
+    from vdtpu.ops import quant
+    quant.set_policy("int8")
+    try:
+        vdi = make_tiny_vdi()
+        got = {"t2i_int8_seed23": _stats(vdi.inference_t2i(
+            "a village in the snow", 23))}
+    finally:
+        quant.set_policy(None)
+
+    if not os.path.exists(GOLDEN_INT8):
+        with open(GOLDEN_INT8, "w") as f:
+            json.dump(got, f, indent=1)
+        pytest.skip("int8 golden file created; rerun to compare")
+
+    want = json.load(open(GOLDEN_INT8))
+    assert set(want) == set(got)
+    for key, ws in want.items():
+        for stat, wv in ws.items():
+            assert abs(got[key][stat] - wv) < 5e-3, (key, stat, got[key][stat], wv)
+
+
 def test_layer_choice_sampler_distribution():
     import jax
     from vdtpu.config.bank import model_cfg_bank

@@ -118,12 +118,21 @@ class CachedCompile:
             from jax.api_util import shaped_abstractify
             for i, a in zip(info, flat):
                 aval = shaped_abstractify(a)
-                if (tuple(i.aval.shape) != tuple(aval.shape)
-                        or i.aval.dtype != aval.dtype):
+                if (tuple(i.shape) != tuple(aval.shape)
+                        or i.dtype != aval.dtype):
                     return True
             return False
         except Exception:
             return False  # introspection unavailable: call as-is
+
+    @staticmethod
+    def _is_signature_drift(e: Exception) -> bool:
+        """Errors that mean 'this executable doesn't match these args/this
+        topology' (recompile-able), as opposed to genuine runtime failures
+        (OOM / transfer errors / NaN guards) which must propagate."""
+        if isinstance(e, TypeError):
+            return "compiled" in str(e)
+        return "INVALID_ARGUMENT" in str(e)
 
     def __call__(self, *args):
         if self._compiled is None:
@@ -134,4 +143,14 @@ class CachedCompile:
             # stale cached executable (shape/dtype drift): recompile once
             with self._lock:
                 self._compiled = self._compile(args)
-        return self._compiled(*args)
+        try:
+            return self._compiled(*args)
+        except (TypeError, jax.errors.JaxRuntimeError) as e:
+            # drift the aval check can't see (e.g. an executable deserialized
+            # for a different device topology reports INVALID_ARGUMENT shard
+            # counts); anything else is a real failure and propagates
+            if not self._is_signature_drift(e):
+                raise
+            with self._lock:
+                self._compiled = self._compile(args)
+            return self._compiled(*args)
