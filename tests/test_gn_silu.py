@@ -102,3 +102,51 @@ def test_quantized_odd_n_slab_falls_back_exact():
     ref = _ref_gn_silu(x, scale, bias, 32, 1e-5, True)
     refq = np.clip(np.round(np.asarray(ref) / 0.05), -127, 127).astype(np.int8)
     np.testing.assert_array_equal(np.asarray(out), refq)
+
+
+def test_gn_stats_only_matches_reference():
+    """The stats-ONLY Pallas split (r3): gn_stats must reproduce the
+    channel-broadcast (mean, rstd) of the jnp GroupNorm."""
+    from vdtpu.ops.pallas.gn_silu import gn_stats
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 512, 256).astype(np.float32)) * 1.7 + 0.3
+    stats = gn_stats(x, 32, 1e-5, interpret=True)
+    assert stats.shape == (2, 2, 256)
+    xg = np.asarray(x).reshape(2, 512, 32, 8)         # [B, N, G, cpg]
+    mean_g = xg.transpose(0, 2, 1, 3).reshape(2, 32, -1).mean(-1)
+    var_g = xg.transpose(0, 2, 1, 3).reshape(2, 32, -1).var(-1)
+    rstd_g = 1.0 / np.sqrt(var_g + 1e-5)
+    mean_c = np.repeat(mean_g, 8, axis=-1)
+    rstd_c = np.repeat(rstd_g, 8, axis=-1)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]), mean_c, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(stats[:, 1]), rstd_c, rtol=2e-4,
+                               atol=2e-4)
+    # non-coverable N returns None (caller falls back)
+    assert gn_stats(jnp.zeros((1, 4481, 256)), 32, interpret=True) is None
+
+
+def test_qconv_gn_stats_mode_matches_default(monkeypatch):
+    """VDTPU_QCONV_GN=stats routes the ResBlock prologue through the
+    stats-only kernel with outputs matching the default jnp path."""
+    import jax
+    from vdtpu.models.blocks import ResBlock2D
+    from vdtpu.ops import quant
+
+    def run():
+        quant.set_policy("int8")
+        try:
+            blk = ResBlock2D(64, 64, dtype=jnp.float32)
+            rs = np.random.RandomState(11)
+            x = jnp.asarray(rs.randn(1, 16, 16, 64).astype(np.float32))
+            emb = jnp.asarray(rs.randn(1, 32).astype(np.float32))
+            p = blk.init(jax.random.PRNGKey(0), x, emb)
+            return np.asarray(blk.apply(p, x, emb))
+        finally:
+            quant.set_policy(None)
+
+    monkeypatch.delenv("VDTPU_QCONV_GN", raising=False)
+    ref = run()
+    monkeypatch.setenv("VDTPU_QCONV_GN", "stats")
+    out = run()
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

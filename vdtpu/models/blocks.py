@@ -48,7 +48,8 @@ class ResBlock2D(nn.Module):
         conv = conv3(self.out_channels, conv_name, self.dtype,
                      zero_init=zero_init)
         from vdtpu.ops.quant import QConv
-        if os.environ.get("VDTPU_QCONV_GN") == "1" and isinstance(conv, QConv):
+        if os.environ.get("VDTPU_QCONV_GN", "0") in ("1", "stats") \
+                and isinstance(conv, QConv):
             gs, gb = GNParams(x.shape[-1], name=gn_name)()
             return conv(x, gn=(gs, gb, True, 1e-5), add=add)
         h = self._gn_silu(x, gn_name)

@@ -269,6 +269,46 @@ def _gn_silu_q_blocked(xr, scale, bias, s_act, groups: int, eps: float,
     return out
 
 
+def gn_stats(x, groups: int = 32, eps: float = 1e-5,
+             interpret: bool = False):
+    """Pallas GN statistics ONLY: [B, ..., C] -> [B, 2, C] f32 holding
+    channel-broadcast (mean, rstd).
+
+    The stats-ONLY split (r3): the Pallas kernel replaces XLA's
+    convert+reduce stat pass (bf16 read, f32 accumulate in VMEM scratch,
+    one tiny indicator matmul) while the normalize+affine+SiLU+quantize
+    stays an XLA fusion — unlike the full Pallas prologue (rejected twice,
+    PERF.md), no custom-call output feeds the conv, so XLA's epilogue
+    fusions are untouched. Returns None when the shape is not coverable
+    (caller falls back to the jnp path)."""
+    shape = x.shape
+    c = shape[-1]
+    xr = x.reshape(shape[0], -1, c)
+    b, n, _ = xr.shape
+    bn = next((cand for cand in (_BLOCK_N, 256, 128) if n % cand == 0), None)
+    if bn is None or c % 128 or groups > c:
+        return None
+    ind, indt = _indicators(c, groups)
+    return pl.pallas_call(
+        functools.partial(_stats_kernel, eps=eps,
+                          count=float(n * (c // groups))),
+        grid=(b, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(xr, ind, indt)
+
+
 def gn_silu_q(x, scale, bias, s_act, groups: int = 32, eps: float = 1e-5,
               with_silu: bool = True, interpret: bool = False):
     """Fused GN(+SiLU)+int8-quantize; returns int8 of x's shape.

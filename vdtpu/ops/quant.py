@@ -104,22 +104,40 @@ class _QBase(nn.Module):
     def _act_with_prologue(self, x, gn):
         """GN(+SiLU) prologue fused with this site's quantization.
 
-        gn = (gn_scale, gn_bias, with_silu, eps). With a calibrated static
-        scale and a VMEM-sized slab, the whole prologue+quantize is ONE
-        Pallas pass (gn_silu_q); otherwise the jnp prologue runs and the
-        plain activation-quant path follows.
+        gn = (gn_scale, gn_bias, with_silu, eps). Modes (VDTPU_QCONV_GN):
+        - "1": full Pallas GN+SiLU+quantize (gn_silu_q) when the slab is
+          VMEM-coverable (measured NET NEGATIVE e2e on v5e — see
+          blocks.ResBlock2D note — kept for other backends/shapes);
+        - "stats": Pallas computes ONLY the GN statistics
+          (pallas.gn_silu.gn_stats); apply+SiLU+quantize stays a jnp/XLA
+          fusion, so no custom-call output feeds the conv.
+        Otherwise the jnp prologue runs and the plain activation-quant path
+        follows.
         """
-        from vdtpu.ops.pallas.gn_silu import _ref_gn_silu, eligible, gn_silu_q
+        from vdtpu.ops.pallas.gn_silu import (
+            _ref_gn_silu, eligible, gn_silu_q, gn_stats)
         gs, gb, with_silu, eps = gn
+        mode = os.environ.get("VDTPU_QCONV_GN", "0")
         has_static = (get_policy() != "int8_calib"
                       and self.has_variable("quant", "act_scale"))
-        if has_static and eligible(x.shape, x.dtype, out_itemsize=1):
+        shape = x.shape
+        if mode == "stats":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            stats = gn_stats(x, 32, eps, interpret=not on_tpu) \
+                if (shape[1] * shape[2]) >= 256 else None
+            if stats is not None:
+                h = (x.astype(jnp.float32).reshape(shape[0], -1, shape[-1])
+                     - stats[:, 0:1, :]) * stats[:, 1:2, :]
+                h = h * gs.astype(jnp.float32) + gb.astype(jnp.float32)
+                if with_silu:
+                    h = h * jax.nn.sigmoid(h)
+                return self._act(h.reshape(shape).astype(x.dtype))
+        if mode == "1" and has_static and eligible(x.shape, x.dtype,
+                                                   out_itemsize=1):
             s = self.get_variable("quant", "act_scale")
-            shape = x.shape
             xq = gn_silu_q(x.reshape(shape[0], -1, shape[-1]), gs, gb,
                            jnp.asarray(s), 32, eps, with_silu).reshape(shape)
             return xq, s
-        shape = x.shape
         h = _ref_gn_silu(x.reshape(shape[0], -1, shape[-1]), gs, gb, 32, eps,
                          with_silu).reshape(shape)
         return self._act(h)
