@@ -71,11 +71,16 @@ def main():
     cparams = jax.jit(clip.init)(jax.random.PRNGKey(2), ids_c)["params"]
     cparams = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), cparams)
     enc = jax.jit(lambda p, i: clip.apply({"params": p}, i))
-    cond = enc(cparams, ids_c).astype(dtype)
-    uncond = enc(cparams, ids_u).astype(dtype)
+    cond = enc(cparams, ids_c).astype(jnp.float32)
+    uncond = enc(cparams, ids_u).astype(jnp.float32)
+    # random CLIP weights under-scale the embeddings (std ~0.04 vs ~1 for
+    # the trained tower); normalize to unit std so CFG sees
+    # trained-magnitude conditioning contrast in the divergence test
+    cond = (cond / (jnp.std(cond) + 1e-6)).astype(dtype)
+    uncond = (uncond / (jnp.std(uncond) + 1e-6)).astype(dtype)
     jax.block_until_ready((cond, uncond))
     log(f"CLIP conditioning {time.perf_counter() - t0:.1f}s "
-        f"cond std {float(jnp.std(cond)):.3f}")
+        f"cond std {float(jnp.std(cond.astype(jnp.float32))):.3f}")
 
     # ---- VAE (decode deltas) ----
     vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]

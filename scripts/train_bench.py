@@ -7,7 +7,7 @@ vd.py:330-381 flow contract), latents 64x64x4, remat on
 the Trainer's make_train_step computes them.
 
 Memory layout: the TRAINED subtree is the t2i flow's own blocks (image
-data+global + text context blocks, ~1.9B of 2.57B); the off-flow remainder
+data+global + text context blocks, 1.13B of 2.57B); the off-flow remainder
 (text data blocks, unused by this flow's forward walk) rides as a frozen
 jit argument. The full four-flow Adam state cannot fit one 16 GB v5e chip
 (f32 mu+nu alone is 20.6 GB) — matching the reference's own practice of
@@ -21,6 +21,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_bench.py
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -33,6 +34,13 @@ def log(msg):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-remat", action="store_true",
+                    help="skip per-block nn.remat (smaller compile; at 64x64 "
+                         "latents batch<=2 fits without it)")
+    ap.add_argument("--batches", default="1,2,4,8,16")
+    args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -43,7 +51,8 @@ def main():
 
     dtype = jnp.bfloat16
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
-    model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=True)
+    model = VDModel.from_config(cfgm, dtype=dtype,
+                                use_checkpoint=not args.no_remat)
 
     t0 = time.perf_counter()
     shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
@@ -73,7 +82,9 @@ def main():
 
     nT = model.schedule.num_timesteps
 
-    @jax.jit
+    # donate the trained tree + opt state: without donation the update holds
+    # old+new copies of ~9 GB simultaneously and OOMs a 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def step(trainable, frozen, opt_state, x, ctx, rng):
         """make_train_step's math (harness.py:80-115) on the flow split."""
         def loss_fn(tr):
@@ -98,7 +109,8 @@ def main():
             return {}
 
     results = []
-    for bsz in (1, 2, 4, 8, 16):
+    tr, opt = trainable, opt_state
+    for bsz in [int(b) for b in args.batches.split(",")]:
         x = jax.random.normal(jax.random.fold_in(key, 10 + bsz),
                               (bsz, 64, 64, 4), dtype)
         ctx = jax.random.normal(jax.random.fold_in(key, 20 + bsz),
@@ -106,13 +118,13 @@ def main():
         rng = jax.random.PRNGKey(bsz)
         try:
             t0 = time.perf_counter()
-            tr2, o2, loss = step(trainable, frozen, opt_state, x, ctx, rng)
+            tr, opt, loss = step(tr, frozen, opt, x, ctx, rng)
             np.asarray(loss)
             compile_s = time.perf_counter() - t0
             times = []
             for i in range(3):
                 t0 = time.perf_counter()
-                tr2, o2, loss = step(trainable, frozen, opt_state, x, ctx,
+                tr, opt, loss = step(tr, frozen, opt, x, ctx,
                                      jax.random.fold_in(rng, i))
                 jax.block_until_ready(loss)
                 np.asarray(loss)
@@ -125,7 +137,6 @@ def main():
                    "mem_gb": mem()}
             log(str(row))
             results.append(row)
-            del tr2, o2
         except Exception as e:  # the OOM boundary is a result, not a failure
             log(f"batch {bsz}: {type(e).__name__}: {str(e)[:300]}")
             results.append({"batch": bsz, "error": type(e).__name__})
@@ -134,7 +145,7 @@ def main():
     print(json.dumps({
         "trainable_b": round(size(trainable) / 1e9, 3),
         "frozen_b": round(size(frozen) / 1e9, 3),
-        "remat": True, "optimizer": "adamw(mu,nu=bf16)",
+        "remat": not args.no_remat, "optimizer": "adamw(mu,nu=bf16)",
         "points": results}), flush=True)
 
 
