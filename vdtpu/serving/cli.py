@@ -53,10 +53,19 @@ def build_inference(args):
         print(f"loaded checkpoint; {len(missing)} unmatched params")
     tokenizer = None
     if args.clip_vocab and args.clip_merges:
+        import functools
         from vdtpu.data.tokenizers import CLIPTokenizer
-        tokenizer = CLIPTokenizer(args.clip_vocab, args.clip_merges)
+        tok = CLIPTokenizer(args.clip_vocab, args.clip_merges)
+        tokenizer = functools.partial(tok, max_length=args.clip_max_length)
     return VDInference(sysm, text_tokenizer=tokenizer,
-                       ddim_steps=args.steps)
+                       ddim_steps=args.steps,
+                       output_dim=(args.size, args.size),
+                       n_sample_image=args.n_images,
+                       n_sample_text=args.n_texts,
+                       image_latent_dim=args.image_latent_dim,
+                       text_latent_dim=args.text_latent_dim,
+                       latent_downsample=args.latent_downsample,
+                       encoder_reuse=args.encoder_reuse or None)
 
 
 def main(argv=None):
@@ -77,7 +86,20 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None)
     p.add_argument("--clip-vocab", default=None)
     p.add_argument("--clip-merges", default=None)
+    p.add_argument("--clip-max-length", type=int, default=77)
     p.add_argument("--bf16", action="store_true")
+    # generation geometry (defaults = published model; override for
+    # miniature configs, e.g. --config vd_test_tiny --size 64
+    # --latent-downsample 2 --text-latent-dim 96)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--n-images", type=int, default=2)
+    p.add_argument("--n-texts", type=int, default=4)
+    p.add_argument("--image-latent-dim", type=int, default=4)
+    p.add_argument("--text-latent-dim", type=int, default=768)
+    p.add_argument("--latent-downsample", type=int, default=8)
+    p.add_argument("--encoder-reuse", type=int, default=0,
+                   help="opt-in approximate mode: encoder-feature reuse "
+                        "interval (0 = exact DDIM)")
     args = p.parse_args(argv)
 
     vdi = build_inference(args)
@@ -85,23 +107,23 @@ def main(argv=None):
         out = vdi.inference_t2i(args.text, args.seed)
         print(_save_images(out, args.out, "t2i"))
     elif args.flow == "i2i":
-        im = _load_image(args.image[0])
+        im = _load_image(args.image[0], args.size)
         out = vdi.inference_i2i(im, args.fid, args.fcs,
                                 "Simple" if args.clr_adj else None, args.seed)
         print(_save_images(out, args.out, "i2i"))
     elif args.flow == "i2t":
-        print("\n".join(vdi.inference_i2t(_load_image(args.image[0]), args.seed)))
+        print("\n".join(vdi.inference_i2t(_load_image(args.image[0], args.size), args.seed)))
     elif args.flow == "t2t":
         print("\n".join(vdi.inference_t2t(args.text, args.seed)))
     elif args.flow in ("dcg", "tcg", "mcg"):
         ctxs = []
         for i, pth in enumerate(args.image):
-            ctx = {"image": _load_image(pth),
+            ctx = {"image": _load_image(pth, args.size),
                    "strength": args.strength[i] if i < len(args.strength) else 1.0,
                    "fcs_lvl": args.fcs}
             if i < len(args.mask) and args.mask[i]:
                 from PIL import Image
-                m = Image.open(args.mask[i]).convert("L").resize((512, 512))
+                m = Image.open(args.mask[i]).convert("L").resize((args.size, args.size))
                 ctx["mask"] = np.asarray(m, np.float32)[None, :, :, None] / 255.0
             ctxs.append(ctx)
         if args.flow == "dcg":
