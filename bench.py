@@ -48,6 +48,9 @@ CACHE_DIR = os.environ.get(
 
 def main():
     import jax
+    os.environ.setdefault(
+        "VDTPU_AOT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aotcache"))
     warm = os.path.isdir(CACHE_DIR) and len(os.listdir(CACHE_DIR)) > 0
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -158,6 +161,13 @@ def main():
                 x = ddim_scan(eps, x, key, tables)
             z = model.unscale_latent(x, "image")
             return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
+        # AOT executable cache: a warm boot deserializes the compiled
+        # executable instead of re-jitting (the persistent HLO cache alone
+        # still pays a large outer-module recompile on this backend —
+        # PERF.md "Serving cold start")
+        from vdtpu.serving.aot import CachedCompile, cache_dir
+        if cache_dir() is not None:
+            return CachedCompile(t2i, key=f"bench|{n}|{policy}|{encreuse}")
         return jax.jit(t2i)
 
     import numpy as np

@@ -54,6 +54,7 @@ class CachedCompile:
         self._fn = fn
         self._key = key
         self._compiled = None
+        self._validated = False  # aval check passed once for this executable
         self._lock = threading.Lock()
 
     def _try_load(self):
@@ -139,10 +140,15 @@ class CachedCompile:
             with self._lock:
                 if self._compiled is None:
                     self._compiled = self._try_load() or self._compile(args)
-        if self._signature_mismatch(args):
-            # stale cached executable (shape/dtype drift): recompile once
-            with self._lock:
-                self._compiled = self._compile(args)
+        # the per-leaf aval walk costs tens of ms on large param trees:
+        # run it until it passes once, then trust the executable (repeat
+        # calls with new shapes surface as signature-drift errors below)
+        if not self._validated:
+            if self._signature_mismatch(args):
+                # stale cached executable (shape/dtype drift): recompile once
+                with self._lock:
+                    self._compiled = self._compile(args)
+            self._validated = True
         try:
             return self._compiled(*args)
         except (TypeError, jax.errors.JaxRuntimeError) as e:
@@ -153,4 +159,5 @@ class CachedCompile:
                 raise
             with self._lock:
                 self._compiled = self._compile(args)
+                self._validated = False
             return self._compiled(*args)
