@@ -51,25 +51,40 @@ def probe_int8_mm():
     )(a, b))
     out = f(a, b)
     ok = bool((np.asarray(out) == K).all())
-    dt = bench(f, a, b)
-    tflops = 2 * M * K * N / dt / 1e12
-    # XLA comparison
-    g = jax.jit(lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
-    dtx = bench(g, a, b)
-    print(f"int8 mm pallas: ok={ok} {dt*1e3:.3f} ms {tflops:.1f} TFLOP/s; "
-          f"XLA {dtx*1e3:.3f} ms {2*M*K*N/dtx/1e12:.1f} TFLOP/s")
+    # marginal-chain measurement (single-call timings are dispatch-bound
+    # through the tunnel): time chains of n repeated matmuls, difference.
+    def chain(n, mm):
+        def f(a, b):
+            out = jnp.zeros((M, N), jnp.int32)
+            for i in range(n):
+                out = out + mm(a, b)
+            return out
+        return jax.jit(f)
+
+    pmm = lambda a, b: pl.pallas_call(
+        mm_kernel,
+        in_specs=[pl.BlockSpec((M, K), lambda: (0, 0)),
+                  pl.BlockSpec((K, N), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((M, N), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32))(a, b)
+    xmm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    for name, mm in (("pallas", pmm), ("xla", xmm)):
+        t20 = bench(chain(20, mm), a, b, runs=5)
+        t100 = bench(chain(100, mm), a, b, runs=5)
+        dt = (t100 - t20) / 80
+        print(f"int8 mm {name}: ok={ok} marginal {dt*1e6:.1f} us "
+              f"{2*M*K*N/dt/1e12:.1f} TFLOP/s")
 
 
 # ---- 2. shifted slice-add over sublanes ----
-def shift_kernel(x_ref, o_ref):
+def shift_kernel(x_ref, o_ref, acc):
     M = x_ref.shape[0]
-    acc = jnp.zeros_like(x_ref[:], jnp.int32)
+    acc[:] = jnp.zeros_like(acc)
     for o in (-66, -1, 1, 66):
         lo, hi = max(0, -o), M - max(0, o)
-        upd = x_ref[lo + o:hi + o, :].astype(jnp.int32)
-        acc = acc.at[lo:hi, :].add(upd)
-    o_ref[:] = acc
+        acc[lo:hi, :] += x_ref[lo + o:hi + o, :].astype(jnp.int32)
+    o_ref[:] = acc[:]
 
 
 def probe_shift():
@@ -80,6 +95,7 @@ def probe_shift():
         in_specs=[pl.BlockSpec((M, C), lambda: (0, 0))],
         out_specs=pl.BlockSpec((M, C), lambda: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((M, C), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((M, C), jnp.int32)],
     )(x))
     out = np.asarray(f(x))
     ref = np.zeros((M, C), np.int32)

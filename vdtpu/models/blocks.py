@@ -55,12 +55,44 @@ class ResBlock2D(nn.Module):
         h = self._gn_silu(x, gn_name)
         return apply_add(conv, h, add)
 
+    def _fused_flat(self, x, e):
+        """Whole-ResBlock padded-flat path (VDTPU_QCONV=fused): both 3x3
+        convs run as single fused Pallas kernels (GN+SiLU+quantize+int8
+        conv+adds, ops/pallas/qconv.py) and the padded-flat layout composes
+        between them — one pad on entry, one unpad on exit."""
+        from vdtpu.ops.pallas.qconv import pad_flat, unpad_flat
+        b, hh, ww, _ = x.shape
+        xp = pad_flat(x)
+        gs1, gb1 = GNParams(x.shape[-1], name="in_layers.0")()
+        conv1 = conv3(self.out_channels, "in_layers.2", self.dtype)
+        h = conv1(xp, gn=(gs1, gb1, True, 1e-5), add=e[:, None, :],
+                  flat_hw=(hh, ww))
+        if self.out_channels == self.channels:
+            skip_p = xp
+        else:
+            # 1x1 conv on the flat layout (same [1,1,C,N] param); pad
+            # positions pick up the bias but conv2's epilogue re-zeros them
+            skip_p = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                             name="skip_connection")(xp[:, :, None, :])[:, :, 0, :]
+        gs2, gb2 = GNParams(self.out_channels, name="out_layers.0")()
+        conv2 = conv3(self.out_channels, "out_layers.3", self.dtype,
+                      zero_init=True)
+        h = conv2(h, gn=(gs2, gb2, True, 1e-5), add=skip_p,
+                  flat_hw=(hh, ww))
+        return unpad_flat(h, hh, ww)
+
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         # FiLM and residual adds ride the convs' epilogues (apply_add):
         # separate add passes are HBM-bound (PERF.md r2)
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
+        if os.environ.get("VDTPU_QCONV") == "fused" and self.dropout == 0.0:
+            from vdtpu.ops.pallas import qconv as _qc
+            from vdtpu.ops.quant import get_policy
+            if get_policy() in ("int8", "int8_calib") and _qc.eligible(
+                    x.shape[1], x.shape[2], x.shape[-1], self.out_channels):
+                return self._fused_flat(x, e)
         h = self._gn_conv(x, "in_layers.0", "in_layers.2",
                           e[:, None, None, :])
         if self.out_channels == self.channels:

@@ -327,11 +327,17 @@ class QConv(_QBase):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x, gn=None, add=None):
+    def __call__(self, x, gn=None, add=None, flat_hw=None):
         """add: optional tensor (broadcastable to the output) summed in the
         f32 epilogue — fusing FiLM/residual adds into the conv output saves
         a full read+write pass over the activation (the elementwise passes
-        are HBM-bound at ~300 GB/s effective on this chip, PERF.md r2)."""
+        are HBM-bound at ~300 GB/s effective on this chip, PERF.md r2).
+
+        flat_hw=(H, W): x is padded-flat [B, H*(W+2), C] (ops.pallas.qconv)
+        and the ENTIRE site — GN stats+apply+SiLU+quantize+conv+dequant+adds
+        — runs as one fused Pallas kernel (VDTPU_QCONV=fused)."""
+        if flat_hw is not None:
+            return self._call_flat(x, gn, add, flat_hw)
         kh, kw = self.kernel_size
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1], self.features))
@@ -378,6 +384,52 @@ class QConv(_QBase):
         if add is not None:
             y = y + add.astype(jnp.float32)
         return y.astype(self.dtype)
+
+
+    def _call_flat(self, x, gn, add, flat_hw):
+        """Padded-flat fused path (see __call__). Same param/quant tree as
+        the standard path: calibration sows the same act_absmax (valid
+        region only — the GN+SiLU of the zero column pads must not inflate
+        the scale) and _attach_weight_tables finds the same 'kernel'."""
+        from vdtpu.ops.pallas import qconv as qc
+        h, w = flat_hw
+        gs, gb, with_silu, eps = gn
+        kh, kw = self.kernel_size
+        assert (kh, kw) == (3, 3) and self.strides == (1, 1), \
+            "flat path covers the ResBlock 3x3 stride-1 convs"
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else jnp.zeros((self.features,), jnp.float32)
+        add_vec = add_full = None
+        if add is not None:
+            if add.ndim == 3 and add.shape[1] == 1:
+                add_vec = add.reshape(add.shape[0], -1)   # FiLM [B, N]
+            else:
+                add_full = add                            # padded-flat skip
+        if get_policy() == "int8_calib" or not self.has_variable(
+                "quant", "act_scale"):
+            # reference math; dynamic scale over the VALID region
+            xr = x.reshape(x.shape[0], h, w + 2, -1)[:, :, 1:w + 1, :]
+            from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
+            y = _ref_gn_silu(xr.reshape(xr.shape[0], -1, xr.shape[-1]),
+                             gs, gb, 32, eps, with_silu)
+            absmax = jnp.max(jnp.abs(y.astype(jnp.float32)))
+            if get_policy() == "int8_calib":
+                self.sow("quant_calib", "act_absmax", absmax,
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.float32(0.0))
+            s_act = jnp.maximum(absmax / 127.0, 1e-10)
+            wq, s_w = self._weights(kernel, (0, 1, 2))
+            return qc.ref_qconv3_flat(
+                x, gs, gb, s_act, wq, s_w, bias, h, w, eps=eps,
+                with_silu=with_silu, add_vec=add_vec, add_full=add_full)
+        s_act = self.get_variable("quant", "act_scale")
+        wq, s_w = self._weights(kernel, (0, 1, 2))
+        return qc.qconv3_flat(
+            x, gs, gb, jnp.asarray(s_act), wq, s_w, bias, h, w, eps=eps,
+            with_silu=with_silu, add_vec=add_vec, add_full=add_full,
+            interpret=jax.default_backend() != "tpu")
 
 
 class QDense(_QBase):
