@@ -1,4 +1,4 @@
-"""On-chip benchmark: fused Pallas int8 conv vs the current XLA int8 chain.
+"""On-chip benchmark: fused Pallas int8 conv kernels vs the XLA int8 chain.
 
 Marginal-chain methodology (tunnel dispatch is ~30-60 ms/call): time chains
 of 12 and 36 chained applications (output feeds back as input, defeating
@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vdtpu.ops.pallas.qconv import pad_flat, qconv3_flat, ref_qconv3_flat
+from vdtpu.ops.pallas.qconv import (qconv3_flat, ref_qconv3_flat,
+                                    resblock_flat)
 
 B = 16  # batch 8 + CFG
 
@@ -37,7 +38,7 @@ def timeit(f, *args, runs=5):
 
 def bench_shape(h, w, c, groups=32):
     n = c  # feedback chaining requires n == c
-    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
     x = (jax.random.normal(ks[0], (B, h, w, c)) * 0.5).astype(jnp.bfloat16)
     gs = (jax.random.normal(ks[1], (c,)) * 0.2 + 1.0).astype(jnp.bfloat16)
     gb = (jax.random.normal(ks[2], (c,)) * 0.1).astype(jnp.bfloat16)
@@ -47,14 +48,22 @@ def bench_shape(h, w, c, groups=32):
     bias = (jax.random.normal(ks[5], (n,)) * 0.1).astype(jnp.bfloat16)
     s_act = jnp.float32(0.06)
     av = (jax.random.normal(ks[6], (B, n)) * 0.1).astype(jnp.bfloat16)
+    gs2 = (jax.random.normal(ks[7], (n,)) * 0.1 + 1.0).astype(jnp.bfloat16)
+    gb2 = (jax.random.normal(ks[8], (n,)) * 0.1).astype(jnp.bfloat16)
+    w2q = jax.random.randint(ks[9], (3, 3, n, n), -127, 128,
+                             jnp.int32).astype(jnp.int8)
 
-    def fused_once(xp):
-        return qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w,
+    def fused_once(xf):
+        return qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w,
                            add_vec=av)
 
+    def block_once(xf):
+        return resblock_flat(xf, (gs, gb), wq, s_w, bias, s_act, av,
+                             (gs2, gb2), w2q, s_w, bias, s_act, h, w)
+
     def xla_once(x4):
-        """The production XLA path for the same site (quant.QConv int8
-        with jnp GN+SiLU prologue, static scale, fused residual)."""
+        """The production XLA path for one conv site (quant.QConv int8
+        with jnp GN+SiLU prologue, static scale, fused adds)."""
         from jax import lax
         from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
         shape = x4.shape
@@ -72,35 +81,30 @@ def bench_shape(h, w, c, groups=32):
             + av.astype(jnp.float32)[:, None, None, :]
         return y.astype(jnp.bfloat16)
 
-    def chain_fused(k):
-        def f(xp):
+    def chain(k, once):
+        def f(a):
             for _ in range(k):
-                xp = fused_once(xp)
-            return xp
-        return jax.jit(f)
-
-    def chain_xla(k):
-        def f(x4):
-            for _ in range(k):
-                x4 = xla_once(x4)
-            return x4
+                a = once(a)
+            return a
         return jax.jit(f)
 
     # parity spot-check on chip
-    xp = pad_flat(x)
-    got = np.asarray(jax.jit(fused_once)(xp).astype(jnp.float32))
+    xf = x.reshape(B, h * w, c)
+    got = np.asarray(jax.jit(fused_once)(xf).astype(jnp.float32))
     ref = np.asarray(jax.jit(
-        lambda xp: ref_qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w,
-                                   add_vec=av))(xp).astype(jnp.float32))
+        lambda xf: ref_qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w,
+                                   add_vec=av))(xf).astype(jnp.float32))
     err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
-    print(f"[{h}x{w}x{c}] parity rel-max-err {err:.2e}")
+    print(f"[{h}x{w}x{c}] parity rel-max-err {err:.2e}", flush=True)
 
-    for name, mk, arg in (("fused", chain_fused, xp), ("xla", chain_xla, x)):
-        t12 = timeit(mk(12), arg)
-        t36 = timeit(mk(36), arg)
-        per = (t36 - t12) / 24
-        print(f"[{h}x{w}x{c}] {name}: {per*1e3:.3f} ms/site "
-              f"(chain12 {t12*1e3:.1f} chain36 {t36*1e3:.1f})")
+    for name, once, arg, per in (("fused", fused_once, xf, 1),
+                                 ("block", block_once, xf, 2),
+                                 ("xla", xla_once, x, 1)):
+        t12 = timeit(chain(12, once), arg)
+        t36 = timeit(chain(36, once), arg)
+        dt = (t36 - t12) / 24 / per
+        print(f"[{h}x{w}x{c}] {name}: {dt*1e3:.3f} ms/site "
+              f"(chain12 {t12*1e3:.1f} chain36 {t36*1e3:.1f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,21 +1,22 @@
-"""Parity tests for the fully-fused int8 conv kernel (ops/pallas/qconv.py).
+"""Parity tests for the fully-fused int8 conv kernels (ops/pallas/qconv.py).
 
-Interpret mode on CPU: the kernel's math must match the jnp reference
-(which itself mirrors vdtpu.ops.quant.QConv's int8 path: f32 GN stats,
-f32 apply+SiLU, static activation scale, per-channel weight scales, exact
-i32 tap accumulation). Padded-flat layout invariants are checked too.
+Interpret mode on CPU: the kernels' math must match the jnp references
+(which mirror vdtpu.ops.quant.QConv's int8 path: f32 GN stats, f32
+apply+SiLU, static activation scale, per-channel weight scales, exact i32
+tap accumulation). The flat layout's column-mask wrap handling is the main
+thing under test: compare against a REAL zero-padded lax conv.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vdtpu.ops.pallas.qconv import (pad_flat, qconv3_flat, ref_qconv3_flat,
-                                    unpad_flat)
+from vdtpu.ops.pallas.qconv import (qconv3_flat, ref_qconv3_flat,
+                                    ref_resblock_flat, resblock_flat)
 
 
 def _mk(h, w, c, n, groups, key=0, dtype=jnp.float32):
-    ks = jax.random.split(jax.random.PRNGKey(key), 8)
+    ks = jax.random.split(jax.random.PRNGKey(key), 10)
     x = jax.random.normal(ks[0], (2, h, w, c), dtype)
     gs = jax.random.normal(ks[1], (c,), dtype) * 0.2 + 1.0
     gb = jax.random.normal(ks[2], (c,), dtype) * 0.1
@@ -24,7 +25,7 @@ def _mk(h, w, c, n, groups, key=0, dtype=jnp.float32):
     bias = jax.random.normal(ks[5], (n,), dtype) * 0.1
     s_act = jnp.float32(0.05)
     add_vec = jax.random.normal(ks[6], (2, n), dtype)
-    add_full = pad_flat(jax.random.normal(ks[7], (2, h, w, n), dtype))
+    add_full = jax.random.normal(ks[7], (2, h * w, n), dtype)
     return x, gs, gb, wq, s_w, bias, s_act, add_vec, add_full
 
 
@@ -35,33 +36,51 @@ def test_qconv_fused_parity(h, w, c, n, groups, variant):
     x, gs, gb, wq, s_w, bias, s_act, av, af = _mk(h, w, c, n, groups)
     with_silu = variant != "nosilu"
     add_full = af if variant == "film+skip" else None
-    xp = pad_flat(x)
-    out = qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w, groups=groups,
+    xf = x.reshape(2, h * w, c)
+    out = qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w, groups=groups,
                       with_silu=with_silu, add_vec=av, add_full=add_full,
                       interpret=True)
-    ref = ref_qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w,
+    ref = ref_qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w,
                           groups=groups, with_silu=with_silu, add_vec=av,
                           add_full=add_full)
-    assert out.shape == ref.shape == (2, h * (w + 2), n)
+    assert out.shape == ref.shape == (2, h * w, n)
     # identical int8 codes feed exact i32 accumulation: only f32 epilogue
-    # rounding differs
+    # rounding differs (the reference runs a REAL zero-padded lax conv, so
+    # agreement proves the shifted-slice + column-mask tap arithmetic)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
-    # column pads must be exact zeros (the layout's composition invariant)
-    o4 = np.asarray(out).reshape(2, h, w + 2, n)
-    assert (o4[:, :, 0, :] == 0).all() and (o4[:, :, w + 1, :] == 0).all()
 
 
-def test_pad_unpad_roundtrip():
-    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 16, 24))
-    np.testing.assert_array_equal(np.asarray(unpad_flat(pad_flat(x), 8, 16)),
-                                  np.asarray(x))
+@pytest.mark.parametrize("skip", [False, True])
+def test_resblock_fused_parity(skip):
+    h, w, c, groups = 8, 8, 64, 8
+    n = 128 if skip else c
+    x, gs, gb, wq, s_w, bias, s_act, av, _ = _mk(h, w, c, n, groups)
+    ks = jax.random.split(jax.random.PRNGKey(42), 6)
+    gs2 = jax.random.normal(ks[0], (n,)) * 0.1 + 1.0
+    gb2 = jax.random.normal(ks[1], (n,)) * 0.1
+    w2q = jax.random.randint(ks[2], (3, 3, n, n), -127, 128,
+                             jnp.int32).astype(jnp.int8)
+    s2w = (jax.random.uniform(ks[3], (n,)) * 0.005 + 0.001).astype(jnp.float32)
+    b2 = jax.random.normal(ks[4], (n,)) * 0.05
+    sx2 = jnp.float32(0.04)
+    skip_f = jax.random.normal(ks[5], (2, h * w, n)) if skip else None
+    xf = x.reshape(2, h * w, c)
+    out = resblock_flat(xf, (gs, gb), wq, s_w, bias, s_act, av,
+                        (gs2, gb2), w2q, s2w, b2, sx2, h, w, skip=skip_f,
+                        groups=groups, interpret=True)
+    ref = ref_resblock_flat(xf, (gs, gb), wq, s_w, bias, s_act, av,
+                            (gs2, gb2), w2q, s2w, b2, sx2, h, w,
+                            skip=skip_f, groups=groups)
+    assert out.shape == ref.shape == (2, h * w, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_composes_across_two_convs():
-    """conv2(conv1(x)) in padded-flat equals the reference chained twice —
-    the invariant that lets a whole ResBlock stay in the flat layout."""
-    h, w, c, n, groups = (8, 8, 64, 128, 8)
+    """conv2(conv1(x)) on the flat layout equals the reference chained —
+    the invariant that lets ResBlocks chain without layout passes."""
+    h, w, c, n, groups = (8, 8, 64, 64, 8)
     x, gs, gb, wq, s_w, bias, s_act, av, _ = _mk(h, w, c, n, groups)
     gs2 = jnp.ones((n,), jnp.float32)
     gb2 = jnp.zeros((n,), jnp.float32)
@@ -69,12 +88,12 @@ def test_composes_across_two_convs():
                              -127, 128, jnp.int32).astype(jnp.int8)
     s_w2 = jnp.full((n,), 0.002, jnp.float32)
     b2 = jnp.zeros((n,), jnp.float32)
-    xp = pad_flat(x)
-    h1 = qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w, groups=groups,
+    xf = x.reshape(2, h * w, c)
+    h1 = qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w, groups=groups,
                      add_vec=av, interpret=True)
     h2 = qconv3_flat(h1, gs2, gb2, s_act, wq2, s_w2, b2, h, w,
                      groups=groups, interpret=True)
-    r1 = ref_qconv3_flat(xp, gs, gb, s_act, wq, s_w, bias, h, w,
+    r1 = ref_qconv3_flat(xf, gs, gb, s_act, wq, s_w, bias, h, w,
                          groups=groups, add_vec=av)
     r2 = ref_qconv3_flat(r1, gs2, gb2, s_act, wq2, s_w2, b2, h, w,
                          groups=groups)

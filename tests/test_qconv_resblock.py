@@ -50,8 +50,9 @@ def _calibrate(blk, params, x, emb, fused: bool):
     return quant._to_scales(dict(col["quant_calib"]))
 
 
+@pytest.mark.parametrize("mode", ["fused", "fused2"])
 @pytest.mark.parametrize("cin,cout", [(64, 64), (64, 128)])
-def test_fused_resblock_matches_standard(cin, cout):
+def test_fused_resblock_matches_standard(cin, cout, mode):
     blk, params, x, emb = _setup(cin, cout)
     scales = _calibrate(blk, params, x, emb, fused=False)
     sf = _calibrate(blk, params, x, emb, fused=True)
@@ -60,10 +61,11 @@ def test_fused_resblock_matches_standard(cin, cout):
         np.testing.assert_allclose(
             np.asarray(scales[site]["act_scale"]),
             np.asarray(sf[site]["act_scale"]), rtol=1e-5)
+    quant._attach_weight_tables(scales, params)
 
     os.environ.pop("VDTPU_QCONV", None)
     ref = blk.apply({"params": params, "quant": scales}, x, emb)
-    os.environ["VDTPU_QCONV"] = "fused"
+    os.environ["VDTPU_QCONV"] = mode
     got = blk.apply({"params": params, "quant": scales}, x, emb)
     assert got.shape == ref.shape
     # identical quantize codes feed exact i32 accumulation; only the f32

@@ -55,31 +55,44 @@ class ResBlock2D(nn.Module):
         h = self._gn_silu(x, gn_name)
         return apply_add(conv, h, add)
 
-    def _fused_flat(self, x, e):
-        """Whole-ResBlock padded-flat path (VDTPU_QCONV=fused): both 3x3
-        convs run as single fused Pallas kernels (GN+SiLU+quantize+int8
-        conv+adds, ops/pallas/qconv.py) and the padded-flat layout composes
-        between them — one pad on entry, one unpad on exit."""
-        from vdtpu.ops.pallas.qconv import pad_flat, unpad_flat
-        b, hh, ww, _ = x.shape
-        xp = pad_flat(x)
-        gs1, gb1 = GNParams(x.shape[-1], name="in_layers.0")()
+    def _fused_flat(self, x, e, whole: bool):
+        """Fused-kernel ResBlock on the flat [B, H*W, C] layout (a FREE
+        reshape of NHWC — ops/pallas/qconv.py). VDTPU_QCONV=fused runs each
+        conv site as one GN+SiLU+quantize+int8-conv+adds kernel;
+        VDTPU_QCONV=fused2 runs BOTH convs in a single kernel with the mid
+        activation living only in VMEM. Calibration always takes the
+        per-conv path (it sows the standard per-site act_absmax)."""
+        import jax
+        from vdtpu.ops.pallas.qconv import resblock_flat
+        from vdtpu.ops.quant import get_policy
+        b, hh, ww, cin = x.shape
+        xf = x.reshape(b, hh * ww, cin)
+        gs1, gb1 = GNParams(cin, name="in_layers.0")()
         conv1 = conv3(self.out_channels, "in_layers.2", self.dtype)
-        h = conv1(xp, gn=(gs1, gb1, True, 1e-5), add=e[:, None, :],
-                  flat_hw=(hh, ww))
         if self.out_channels == self.channels:
-            skip_p = xp
+            skip_f = None
         else:
-            # 1x1 conv on the flat layout (same [1,1,C,N] param); pad
-            # positions pick up the bias but conv2's epilogue re-zeros them
-            skip_p = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                             name="skip_connection")(xp[:, :, None, :])[:, :, 0, :]
+            skip_f = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                             name="skip_connection")(
+                xf[:, :, None, :])[:, :, 0, :]
         gs2, gb2 = GNParams(self.out_channels, name="out_layers.0")()
         conv2 = conv3(self.out_channels, "out_layers.3", self.dtype,
                       zero_init=True)
-        h = conv2(h, gn=(gs2, gb2, True, 1e-5), add=skip_p,
-                  flat_hw=(hh, ww))
-        return unpad_flat(h, hh, ww)
+        if whole and get_policy() == "int8" and conv1.has_tables() \
+                and conv2.has_tables():
+            w1q, s1w, b1, sx1 = conv1.tables(cin)
+            w2q, s2w, b2, sx2 = conv2.tables(self.out_channels)
+            out = resblock_flat(
+                xf, (gs1, gb1), w1q, s1w, b1, sx1, e, (gs2, gb2), w2q, s2w,
+                b2, sx2, hh, ww, skip=skip_f,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            h = conv1(xf, gn=(gs1, gb1, True, 1e-5), add=e[:, None, :],
+                      flat_hw=(hh, ww))
+            out = conv2(h, gn=(gs2, gb2, True, 1e-5),
+                        add=xf if skip_f is None else skip_f,
+                        flat_hw=(hh, ww))
+        return out.reshape(b, hh, ww, self.out_channels)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -87,12 +100,13 @@ class ResBlock2D(nn.Module):
         # separate add passes are HBM-bound (PERF.md r2)
         e = dense(self.out_channels, "emb_layers.1", self.dtype,
                   quant=False)(silu(emb.astype(self.dtype)))
-        if os.environ.get("VDTPU_QCONV") == "fused" and self.dropout == 0.0:
+        mode = os.environ.get("VDTPU_QCONV")
+        if mode in ("fused", "fused2") and self.dropout == 0.0:
             from vdtpu.ops.pallas import qconv as _qc
             from vdtpu.ops.quant import get_policy
             if get_policy() in ("int8", "int8_calib") and _qc.eligible(
                     x.shape[1], x.shape[2], x.shape[-1], self.out_channels):
-                return self._fused_flat(x, e)
+                return self._fused_flat(x, e, whole=mode == "fused2")
         h = self._gn_conv(x, "in_layers.0", "in_layers.2",
                           e[:, None, None, :])
         if self.out_channels == self.channels:

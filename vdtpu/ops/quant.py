@@ -386,11 +386,29 @@ class QConv(_QBase):
         return y.astype(self.dtype)
 
 
+    def has_tables(self) -> bool:
+        """True when calibrated static tables exist for this site."""
+        return self.has_variable("quant", "act_scale")
+
+    def tables(self, cin: int):
+        """(w_q, w_scale, bias, act_scale) for an externally-fused kernel
+        (blocks.ResBlock2D whole-block path). READS the params __call__
+        owns (param creation is only legal inside the compact method;
+        init/calibration always run the per-conv path first, so they exist
+        whenever has_tables() is true)."""
+        del cin
+        kernel = self.get_variable("params", "kernel")
+        bias = self.get_variable("params", "bias") if self.use_bias \
+            else jnp.zeros((self.features,), jnp.float32)
+        wq, s_w = self._weights(kernel, tuple(range(kernel.ndim - 1)))
+        return wq, s_w, bias, jnp.asarray(
+            self.get_variable("quant", "act_scale"))
+
     def _call_flat(self, x, gn, add, flat_hw):
-        """Padded-flat fused path (see __call__). Same param/quant tree as
-        the standard path: calibration sows the same act_absmax (valid
-        region only — the GN+SiLU of the zero column pads must not inflate
-        the scale) and _attach_weight_tables finds the same 'kernel'."""
+        """Flat fused path (see __call__): x is [B, H*W, C] (a free reshape
+        of NHWC). Same param/quant tree as the standard path: calibration
+        sows the same act_absmax and _attach_weight_tables finds the same
+        'kernel'."""
         from vdtpu.ops.pallas import qconv as qc
         h, w = flat_hw
         gs, gb, with_silu, eps = gn
@@ -406,14 +424,12 @@ class QConv(_QBase):
             if add.ndim == 3 and add.shape[1] == 1:
                 add_vec = add.reshape(add.shape[0], -1)   # FiLM [B, N]
             else:
-                add_full = add                            # padded-flat skip
+                add_full = add                            # flat skip
         if get_policy() == "int8_calib" or not self.has_variable(
                 "quant", "act_scale"):
-            # reference math; dynamic scale over the VALID region
-            xr = x.reshape(x.shape[0], h, w + 2, -1)[:, :, 1:w + 1, :]
+            # reference math; dynamic scale (same tensor as standard path)
             from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
-            y = _ref_gn_silu(xr.reshape(xr.shape[0], -1, xr.shape[-1]),
-                             gs, gb, 32, eps, with_silu)
+            y = _ref_gn_silu(x, gs, gb, 32, eps, with_silu)
             absmax = jnp.max(jnp.abs(y.astype(jnp.float32)))
             if get_policy() == "int8_calib":
                 self.sow("quant_calib", "act_absmax", absmax,
