@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="skip per-block nn.remat (smaller compile; at 64x64 "
                          "latents batch<=2 fits without it)")
+    ap.add_argument("--remat-max-ch", type=int, default=None,
+                    help="selective remat: only blocks <= this channel width "
+                         "(640 = the two high-res levels; keeps the remat HLO "
+                         "small enough for the remote compile helper)")
     ap.add_argument("--batches", default="1,2,4,8,16")
     args = ap.parse_args()
     import jax
@@ -52,7 +56,8 @@ def main():
     dtype = jnp.bfloat16
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
     model = VDModel.from_config(cfgm, dtype=dtype,
-                                use_checkpoint=not args.no_remat)
+                                use_checkpoint=not args.no_remat,
+                                remat_max_channels=args.remat_max_ch)
 
     t0 = time.perf_counter()
     shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
@@ -145,7 +150,8 @@ def main():
     print(json.dumps({
         "trainable_b": round(size(trainable) / 1e9, 3),
         "frozen_b": round(size(frozen) / 1e9, 3),
-        "remat": not args.no_remat, "optimizer": "adamw(mu,nu=bf16)",
+        "remat": not args.no_remat, "remat_max_ch": args.remat_max_ch,
+        "optimizer": "adamw(mu,nu=bf16)",
         "points": results}), flush=True)
 
 

@@ -173,3 +173,31 @@ def test_remat_preserves_forward_and_grad(ref_om):
     g2 = jax.grad(lambda p: remat.apply({"params": p}, x, t, ctx).sum())(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_selective_remat_preserves_forward_and_grad(ref_om):
+    """remat_max_channels (selective remat: only blocks <= threshold, i.e.
+    the high-resolution levels) must be bit-identical to full remat and to
+    no remat — it only changes what the backward pass recomputes."""
+    cfg = dict(SMALL_2D)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 8, 4).astype(np.float32))
+    t = jnp.array([13])
+    ctx = jnp.asarray(np.random.RandomState(6).randn(1, 7, 16).astype(np.float32))
+
+    plain = UNet2DNext(**cfg, use_checkpoint=False)
+    # threshold 32 = remat only the model_channels-wide (highest-res) level
+    sel = UNet2DNext(**cfg, use_checkpoint=True, remat_max_channels=32)
+    params = plain.init(jax.random.PRNGKey(1), x, t, ctx)["params"]
+    # same param tree: selective remat must not change module structure
+    assert (jax.tree_util.tree_structure(params) ==
+            jax.tree_util.tree_structure(
+                sel.init(jax.random.PRNGKey(1), x, t, ctx)["params"]))
+
+    o1 = plain.apply({"params": params}, x, t, ctx)
+    o2 = sel.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    g1 = jax.grad(lambda p: plain.apply({"params": p}, x, t, ctx).sum())(params)
+    g2 = jax.grad(lambda p: sel.apply({"params": p}, x, t, ctx).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

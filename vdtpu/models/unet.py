@@ -226,19 +226,32 @@ class _Out0D(nn.Module):
 class UNetBase(nn.Module):
     """Shared walk/dispatch machinery; subclasses provide `program`."""
 
-    def _remat(self, cls):
+    def _remat(self, cls, channels: int | None = None):
         """Gradient checkpointing per block (the reference's use_checkpoint,
         diffusion_utils.py:84-129) as `nn.remat` — forward identical, the
-        backward pass recomputes block activations instead of storing them."""
-        return nn.remat(cls) if self.use_checkpoint else cls
+        backward pass recomputes block activations instead of storing them.
+
+        `remat_max_channels` (when set) restricts remat to blocks whose
+        channel count is <= the threshold. Channel count maps 1:1 to
+        resolution level (320 -> 64^2, 640 -> 32^2, 1280 -> 16^2/8^2), so
+        e.g. 640 remats only the two high-resolution levels — where ~85% of
+        activation bytes live — while keeping the rematerialized graph small
+        enough for compile services that OOM on the full-remat HLO (the
+        observed tpu_compile_helper SIGKILL at full size, PERF.md)."""
+        if not self.use_checkpoint:
+            return cls
+        mx = getattr(self, "remat_max_channels", None)
+        if mx is not None and channels is not None and channels > mx:
+            return cls
+        return nn.remat(cls)
 
     def _make_data_module(self, spec: DataSpec):
         dt = self.dtype
         if spec.kind == "conv_in":
             return conv3(spec.out_ch, spec.name, dt)
         if spec.kind == "res":
-            return self._remat(ResBlock2D)(spec.in_ch, spec.out_ch, dt,
-                                           name=spec.name)
+            return self._remat(ResBlock2D, spec.out_ch)(
+                spec.in_ch, spec.out_ch, dt, name=spec.name)
         if spec.kind == "down":
             return Downsample2D(spec.out_ch, dt, name=spec.name)
         if spec.kind == "up":
@@ -248,8 +261,8 @@ class UNetBase(nn.Module):
         if spec.kind == "linear_in" or spec.kind == "linear":
             return dense(spec.out_ch, spec.name, dt)
         if spec.kind == "fc":
-            return self._remat(FCBlock)(spec.in_ch, spec.out_ch, dt,
-                                        name=spec.name)
+            return self._remat(FCBlock, spec.out_ch)(
+                spec.in_ch, spec.out_ch, dt, name=spec.name)
         if spec.kind == "out0d":
             return _Out0D(self.current_out_channels(), self.second_dim[0],
                           spec.out_ch, dt, name=spec.name)
@@ -348,6 +361,7 @@ class UNet2DNext(UNetBase):
     context_dim: int = 768
     dropout: float = 0.0
     use_checkpoint: bool = False
+    remat_max_channels: int | None = None
     parts: Sequence[str] = ("global", "data", "context")
     dtype: Dtype = jnp.float32
 
@@ -362,10 +376,10 @@ class UNet2DNext(UNetBase):
         if "data" in self.parts:
             self._data = [self._make_data_module(s) for s in self.program.data]
         if "context" in self.parts:
-            st = self._remat(SpatialTransformer)
             self._ctx = [
-                st(s.channels, s.heads, s.dim_head,
-                   dtype=self.dtype, name=s.name)
+                self._remat(SpatialTransformer, s.channels)(
+                    s.channels, s.heads, s.dim_head,
+                    dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
     def tokens_of(self, h, ci: int = 0):
@@ -387,6 +401,7 @@ class UNet0DNext(UNetBase):
     num_head_channels: int | None = None
     context_dim: int = 768
     use_checkpoint: bool = False
+    remat_max_channels: int | None = None
     parts: Sequence[str] = ("global", "data", "context")
     dtype: Dtype = jnp.float32
 
@@ -405,10 +420,10 @@ class UNet0DNext(UNetBase):
         if "data" in self.parts:
             self._data = [self._make_data_module(s) for s in self.program.data]
         if "context" in self.parts:
-            st = self._remat(SpatialTransformer)
             self._ctx = [
-                st(s.channels, s.heads, s.dim_head,
-                   dtype=self.dtype, name=s.name)
+                self._remat(SpatialTransformer, s.channels)(
+                    s.channels, s.heads, s.dim_head,
+                    dtype=self.dtype, name=s.name)
                 for s in self.program.ctx]
 
     def tokens_of(self, h, ci: int = 0):

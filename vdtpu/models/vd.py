@@ -38,12 +38,15 @@ class MultiDiffuser(nn.Module):
     global_layer_ptr: str | None = None
     dtype: Dtype = jnp.float32
     use_checkpoint: bool | None = None  # None = per-config; False for serving
+    remat_max_channels: int | None = None  # remat only blocks <= this width
 
     def setup(self):
         unets = {}
         for name, cfg in self.diffuser_cfgs:
             over = ({} if self.use_checkpoint is None
                     else {"use_checkpoint": self.use_checkpoint})
+            if self.remat_max_channels is not None:
+                over["remat_max_channels"] = self.remat_max_channels
             unets[name] = build(cfg, dtype=self.dtype, name=name, **over)
         self.unets = unets
         orders = [u.program.layer_order for u in unets.values()]
@@ -185,15 +188,19 @@ class VDModel:
 
     @classmethod
     def from_config(cls, cfg: Mapping[str, Any], dtype=jnp.float32,
-                    use_checkpoint: bool | None = None) -> "VDModel":
+                    use_checkpoint: bool | None = None,
+                    remat_max_channels: int | None = None) -> "VDModel":
         """use_checkpoint overrides the per-diffuser config flag: pass False
         for serving (remat barriers cost ~7% forward time), True/None for
-        training (activation rematerialization)."""
+        training (activation rematerialization). remat_max_channels limits
+        remat to blocks <= that width (selective remat: the high-res levels
+        hold ~85% of activation bytes; see UNetBase._remat)."""
         args = cfg["args"]
         diffuser = MultiDiffuser(
             diffuser_cfgs=tuple((n, c) for n, c in args["diffuser_cfg_list"]),
             global_layer_ptr=args.get("global_layer_ptr"),
-            dtype=dtype, use_checkpoint=use_checkpoint)
+            dtype=dtype, use_checkpoint=use_checkpoint,
+            remat_max_channels=remat_max_channels)
         schedule = DiffusionSchedule.create(
             timesteps=args.get("timesteps", 1000),
             beta_schedule=args.get("beta_schedule", "linear"),
