@@ -1,0 +1,63 @@
+"""BatchingQueue: batch-composition independence + bucket padding.
+
+The production claim under test (vdtpu/serving/queue.py): a request's
+image is identical whether it was served alone or coalesced into a larger
+padded batch — because each request carries its own x_T and eta=0 DDIM
+rows are computed independently.
+"""
+import numpy as np
+import pytest
+
+from vdtpu.serving.queue import BatchingQueue
+
+
+@pytest.fixture(scope="module")
+def vdi():
+    from _tiny import make_tiny_vdi
+    return make_tiny_vdi()
+
+
+def test_batched_equals_solo(vdi):
+    reqs = [("a red cat", 0), ("a blue dog", 1), ("a green bird", 2)]
+
+    # solo: each request in its own batch-of-1 (bucket 1)
+    solo = {}
+    with BatchingQueue(vdi, buckets=(1,), max_wait_ms=1.0) as q:
+        for text, seed in reqs:
+            solo[(text, seed)] = q.submit(text, seed).result(timeout=600)
+
+    # coalesced: all three land in one padded batch-of-4
+    with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+        futs = [q.submit(t, s) for t, s in reqs]
+        packed = [f.result(timeout=600) for f in futs]
+
+    for (text, seed), img in zip(reqs, packed):
+        assert img.shape == solo[(text, seed)].shape
+        np.testing.assert_allclose(img, solo[(text, seed)], atol=1e-5)
+
+    # different requests did produce different images
+    assert np.abs(packed[0] - packed[1]).max() > 1e-4
+
+
+def test_same_seed_same_text_identical(vdi):
+    with BatchingQueue(vdi, buckets=(2,), max_wait_ms=250.0) as q:
+        a = q.submit("twin", 7)
+        b = q.submit("twin", 7)
+        np.testing.assert_allclose(a.result(600), b.result(600), atol=1e-6)
+
+
+def test_eta_nonzero_rejected(vdi):
+    import copy
+    bad = copy.copy(vdi)
+    bad.ddim_eta = 0.3
+    with pytest.raises(ValueError, match="eta=0"):
+        BatchingQueue(bad)
+
+
+def test_close_drains_pending(vdi):
+    q = BatchingQueue(vdi, buckets=(2,), max_wait_ms=50.0)
+    f = q.submit("drain me", 3)
+    q.close()
+    assert f.result(timeout=600).shape[-1] == 3
+    with pytest.raises(RuntimeError):
+        q.submit("too late", 4)

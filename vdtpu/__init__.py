@@ -15,6 +15,7 @@ _LAZY = {
     "model_cfg_bank": ("vdtpu.config.bank", "model_cfg_bank"),
     "VDModel": ("vdtpu.models.vd", "VDModel"),
     "DDIMSampler": ("vdtpu.sampling.ddim", "DDIMSampler"),
+    "BatchingQueue": ("vdtpu.serving.queue", "BatchingQueue"),
 }
 
 

@@ -1,0 +1,143 @@
+"""Micro-batching request queue for production serving.
+
+The reference serves one Gradio request at a time (`app.py:244-579`); on
+TPU the UNet scan saturates the MXU only at batch >= 8 (PERF.md "Batch
+scaling"), so concurrent single-image requests waste most of the chip.
+`BatchingQueue` coalesces concurrent text-to-image requests into one
+CFG-batched sampler call:
+
+- Requests arriving within `max_wait_ms` of each other (up to the largest
+  bucket) run as one batch.
+- Batch sizes are padded up to fixed `buckets` so every composition reuses
+  a compiled executable — XLA recompiles on any new shape, and a fresh
+  batch size costs minutes on the full model (PERF.md cold-start table).
+- Each request's initial latent x_T is drawn from its OWN PRNGKey(seed)
+  and passed via the sampler's `x_info["xt"]` path. With eta=0 DDIM every
+  batch row is computed independently (conv/GN/attention are all
+  per-sample; int8 activation scales are static post-calibration), so a
+  queued request returns the same image whether it ran alone or packed
+  with others — asserted by tests/test_serving_queue.py.
+
+All JAX work happens on the single worker thread; `submit` is thread-safe
+and returns a `concurrent.futures.Future` resolving to one [H,W,3] image.
+"""
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class _Request:
+    text: str
+    seed: int
+    future: Future = field(default_factory=Future)
+
+
+class BatchingQueue:
+    """Batches concurrent `t2i` requests through one VDInference sampler call."""
+
+    def __init__(self, inference, buckets=(1, 2, 4, 8), max_wait_ms: float = 20.0):
+        if float(inference.ddim_eta) != 0.0:
+            raise ValueError("BatchingQueue requires eta=0 (deterministic DDIM): "
+                             "eta>0 draws batch-shaped noise, which would make "
+                             "results depend on batch composition")
+        self.inf = inference
+        self.buckets = tuple(sorted(int(b) for b in buckets))
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._q: _queue.Queue[_Request | None] = _queue.Queue()
+        self._uncond1 = None  # [1, 77, ctx] encoding of "", computed once
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ---- client side ----
+
+    def submit(self, text: str, seed: int) -> Future:
+        if self._closed:
+            raise RuntimeError("queue is closed")
+        r = _Request(text, int(seed))
+        self._q.put(r)
+        return r.future
+
+    def close(self):
+        """Drain remaining requests, then stop the worker."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- worker side ----
+
+    def _gather(self) -> list[_Request] | None:
+        """Block for the first request, then coalesce arrivals up to the
+        largest bucket or until max_wait_ms passes with an empty queue."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        while len(batch) < self.buckets[-1]:
+            try:
+                r = self._q.get(timeout=self.max_wait_s)
+            except _queue.Empty:
+                break
+            if r is None:  # close(): process what we have, then stop
+                self._q.put(None)
+                break
+            batch.append(r)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            try:
+                self._process(batch)
+            except Exception as e:  # noqa: BLE001 — fail the whole batch
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _process(self, batch: list[_Request]):
+        inf, n = self.inf, len(batch)
+        b = self._bucket(n)
+        if self._uncond1 is None:
+            self._uncond1 = inf._encode_text([""])
+        # batched CLIP encode of the request texts; padding rows replicate
+        # request 0 (cheap, NaN-free; their outputs are discarded)
+        texts = [r.text for r in batch] + [batch[0].text] * (b - n)
+        c = inf._encode_text(texts)
+        u = jnp.tile(self._uncond1, (b, 1, 1))
+        shape = inf._image_shape(b)
+        row = (1,) + shape[1:]
+        xt = jnp.concatenate(
+            [jax.random.normal(jax.random.PRNGKey(r.seed), row, inf.sys.dtype)
+             for r in batch]
+            + [jnp.zeros(row, inf.sys.dtype)] * (b - n), axis=0)
+        x = inf._sample(
+            jax.random.PRNGKey(0), shape, {"type": "image", "xt": xt},
+            {"type": "text", "conditioning": c,
+             "unconditional_conditioning": u,
+             "unconditional_guidance_scale": inf.scale_textto})
+        imgs = np.asarray(inf.sys.vae_decode(x, "image"))
+        for i, r in enumerate(batch):
+            r.future.set_result(imgs[i])
