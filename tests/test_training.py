@@ -145,3 +145,13 @@ def test_evaluators():
     x = rs.randn(8, 2, 2, 2)
     sim.add_batch(x, x)
     np.testing.assert_allclose(sim.summarize()["clip_similarity"], 1.0, atol=1e-6)
+
+
+def test_remat_flags_reach_diffusers_through_system():
+    """launch.main passes train: use_checkpoint / remat_max_channels into
+    VDSystem; they must land on the MultiDiffuser (and thus each UNet)."""
+    from vdtpu.serving.api import VDSystem
+    s = VDSystem("vd_test_tiny", use_checkpoint=True, remat_max_channels=64)
+    assert s.model.diffuser.use_checkpoint is True
+    assert s.model.diffuser.remat_max_channels == 64
+    assert VDSystem("vd_test_tiny").model.diffuser.use_checkpoint is False

@@ -52,7 +52,12 @@ class VDSystem:
     """Builds and owns every module + param tree of a VD config."""
 
     def __init__(self, cfg_name: str = "vd_four_flow_v1-0", dtype=jnp.float32,
-                 with_text_vae: bool = True, model_args=None):
+                 with_text_vae: bool = True, model_args=None,
+                 use_checkpoint: bool | None = False,
+                 remat_max_channels: int | None = None):
+        """use_checkpoint/remat_max_channels reach the diffusers (training
+        builds pass them from the experiment config's train: section; the
+        serving default False avoids the ~7% remat-barrier forward cost)."""
         self.cfg = model_cfg_bank()(cfg_name)
         if model_args:
             # experiment-level overlay over the model bank entry (training
@@ -62,7 +67,8 @@ class VDSystem:
         args = self.cfg["args"]
         self.dtype = dtype
         self.model = VDModel.from_config(self.cfg, dtype=dtype,
-                                         use_checkpoint=False)
+                                         use_checkpoint=use_checkpoint,
+                                         remat_max_channels=remat_max_channels)
         self.sampler = DDIMSampler(self.model)
 
         self.vae: dict[str, Any] = {}

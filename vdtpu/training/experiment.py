@@ -118,4 +118,9 @@ class Experiment:
         exp.tb_dir = os.path.join(resume_dir, "tensorboard")
         exp.experiment_id = cfg.get("experiment_id", 0)
         exp.dump_cfg()  # append a versioned copy for the resumed run
+        # the resumed run logs into the same train.log (initiate() is not
+        # called on resume; without this the resumed steps went only to
+        # stdout — masked before launch.main cleaned up its registration)
+        from vdtpu.utils.logging import set_log_file
+        set_log_file(os.path.join(exp.log_dir, "train.log"))
         return exp

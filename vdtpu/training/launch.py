@@ -123,6 +123,7 @@ def run_eval(ecfg, system, exp, args):
     with open(os.path.join(out_dir, "summary.yaml"), "w") as f:
         yaml.safe_dump({k: float(v) for k, v in summary.items()}, f)
     print_log(f"eval summary written to {out_dir}/summary.yaml")
+    set_log_file(None)  # end of run: don't leak the file into later stages
     return summary
 
 
@@ -165,9 +166,15 @@ def main(argv=None):
         exp.initiate(snapshot_code_from=".")
 
     import jax.numpy as jnp
+    # training remat knobs from the train: section (ref use_checkpoint,
+    # configs/model/openai_unet.yaml; selective remat is a vdtpu extension
+    # for compile services that OOM on the full-remat HLO — PERF.md)
+    _t = {} if args.eval else (ecfg.get("train") or {})
     system = VDSystem(ecfg["model"],
                       dtype=jnp.bfloat16 if ecfg.get("bf16") else jnp.float32,
-                      model_args=ecfg.get("model_args"))
+                      model_args=ecfg.get("model_args"),
+                      use_checkpoint=bool(_t.get("use_checkpoint", False)),
+                      remat_max_channels=_t.get("remat_max_channels"))
     system.init_random(args.seed or 0)
     if ecfg.get("pretrained"):
         import torch
@@ -219,7 +226,11 @@ def main(argv=None):
     pipeline = build_dataloader(ecfg["data"])
     batches = encode_batches(pipeline, system, tcfg.get("x_type", "image"),
                              tcfg.get("c_type", "text"), tokenizer)
-    trainer.run(batches, num_iters=tcfg["num_iters"])
+    try:
+        trainer.run(batches, num_iters=tcfg["num_iters"])
+    finally:
+        from vdtpu.utils.logging import set_log_file
+        set_log_file(None)  # end of run: don't leak the logfile registration
 
 
 if __name__ == "__main__":

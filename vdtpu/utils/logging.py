@@ -33,14 +33,21 @@ def _is_primary() -> bool:
 
 
 def print_log(*console_info):
-    """Primary-process console print + logfile append (ref :15-36)."""
+    """Primary-process console print + logfile append (ref :15-36).
+
+    A failed logfile append (run dir removed, disk full, stale registration
+    from a finished run) drops the line rather than raising — a log write
+    must never kill a training step."""
     if not _is_primary():
         return
     msg = " ".join(str(i) for i in console_info)
     print(msg)
     for f in _LOG_FILES:
-        with open(f, "a") as fh:
-            fh.write(msg + "\n")
+        try:
+            with open(f, "a") as fh:
+                fh.write(msg + "\n")
+        except OSError:
+            pass
 
 
 class MetricAccumulator:
