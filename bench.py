@@ -51,7 +51,12 @@ def main():
     os.environ.setdefault(
         "VDTPU_AOT_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aotcache"))
-    warm = os.path.isdir(CACHE_DIR) and len(os.listdir(CACHE_DIR)) > 0
+    # warm_boot must reflect BOTH caches: first_image_s is dominated by the
+    # AOT executable cache (.aotcache), not the HLO cache (.jaxcache) — a
+    # primed .jaxcache with an empty .aotcache still pays the ~4 min
+    # outer-module compile (code-review r3)
+    _primed = lambda d: bool(d) and os.path.isdir(d) and len(os.listdir(d)) > 0
+    warm = _primed(CACHE_DIR) and _primed(os.environ["VDTPU_AOT_CACHE"])
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp

@@ -333,9 +333,10 @@ class QConv(_QBase):
         a full read+write pass over the activation (the elementwise passes
         are HBM-bound at ~300 GB/s effective on this chip, PERF.md r2).
 
-        flat_hw=(H, W): x is padded-flat [B, H*(W+2), C] (ops.pallas.qconv)
-        and the ENTIRE site — GN stats+apply+SiLU+quantize+conv+dequant+adds
-        — runs as one fused Pallas kernel (VDTPU_QCONV=fused)."""
+        flat_hw=(H, W): x is UNPADDED flat [B, H*W, C] (ops.pallas.qconv —
+        row wrap is handled by in-kernel column masks, not padding) and the
+        ENTIRE site — GN stats+apply+SiLU+quantize+conv+dequant+adds —
+        runs as one fused Pallas kernel (VDTPU_QCONV=fused)."""
         if flat_hw is not None:
             return self._call_flat(x, gn, add, flat_hw)
         kh, kw = self.kernel_size

@@ -32,9 +32,18 @@ def cache_dir() -> str | None:
     return os.environ.get("VDTPU_AOT_CACHE") or None
 
 
+# env knobs that change the TRACED GRAPH without changing arg avals: a
+# cached executable compiled under a different setting would pass the aval
+# check and silently serve the wrong variant's numerics/perf
+_GRAPH_ENV_KNOBS = ("VDTPU_QCONV", "VDTPU_QCONV_GN", "VDTPU_QKV",
+                    "VDTPU_QUANT_BF16", "VDTPU_INT8_MIN_PIXELS")
+
+
 def _env_tag() -> str:
     dev = jax.devices()[0]
-    return f"{jax.__version__}-{dev.platform}-{getattr(dev, 'device_kind', '?')}-{CODE_EPOCH}"
+    knobs = ",".join(f"{k}={os.environ.get(k, '')}" for k in _GRAPH_ENV_KNOBS)
+    return (f"{jax.__version__}-{dev.platform}-"
+            f"{getattr(dev, 'device_kind', '?')}-{CODE_EPOCH}|{knobs}")
 
 
 def _path(key: str) -> str:

@@ -54,24 +54,31 @@ class BatchingQueue:
         self._q: _queue.Queue[_Request | None] = _queue.Queue()
         self._uncond1 = None  # [1, 77, ctx] encoding of "", computed once
         self._closed = False
+        # serializes the closed-check+put pair against close(): without it a
+        # submit could pass the check, lose the CPU, and enqueue behind the
+        # close sentinel — a future nobody would ever resolve
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ---- client side ----
 
     def submit(self, text: str, seed: int) -> Future:
-        if self._closed:
-            raise RuntimeError("queue is closed")
         r = _Request(text, int(seed))
-        self._q.put(r)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("queue is closed")
+            self._q.put(r)
         return r.future
 
     def close(self):
         """Drain remaining requests, then stop the worker."""
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)
-            self._worker.join()
+            self._q.put(None)  # under the lock: nothing can enqueue after it
+        self._worker.join()
 
     def __enter__(self):
         return self
