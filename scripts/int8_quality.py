@@ -49,18 +49,11 @@ def main():
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
 
     # ---- params (shared across all variants) ----
+    from _common import fill_params
     quant.set_policy(None)
     model_f = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
-    t0 = time.perf_counter()
-    shapes = jax.eval_shape(lambda k: model_f.init_params(k, jit=False),
-                            jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    params = fill_params(model_f)
     key = jax.random.PRNGKey(0)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-        for i, l in enumerate(leaves)])
-    jax.block_until_ready(params)
-    log(f"diffuser params {time.perf_counter() - t0:.1f}s")
 
     # ---- realistic conditioning: CLIP text encoding of random token ids ----
     t0 = time.perf_counter()

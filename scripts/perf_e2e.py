@@ -47,39 +47,25 @@ def main():
     from vdtpu.ops import quant
     from vdtpu.sampling.ddim import DDIMTables, cfg_eps_fn, ddim_scan
 
-    quant.set_policy(None if args.policy == "none" else args.policy)
+    from _common import calibrate_int8, clip_conditioning, fill_params
+
     opts = dict(kv.split("=", 1) for kv in args.xla.split(",") if kv)
 
     dtype = jnp.bfloat16
     n = args.batch
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+    # headline-bench methodology (code-review r3 alignment): CLIP-encoded
+    # conditioning drives BOTH calibration and sampling. Pre-alignment
+    # ladder rows (PERF.md) calibrated on random *0.5 context and sampled
+    # on zeros — throughput is value-independent, so rows stay comparable.
+    cond1, uncond1 = clip_conditioning(cfgm, dtype)
+    quant.set_policy(None if args.policy == "none" else args.policy)
     model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
-    t0 = time.perf_counter()
-    shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
-                            jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    params = fill_params(model)
     key = jax.random.PRNGKey(0)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-        for i, l in enumerate(leaves)])
-    jax.block_until_ready(params)
-    log(f"params {time.perf_counter() - t0:.1f}s")
 
     if args.policy != "none":
-        t0 = time.perf_counter()
-        flows = []
-        for i, tt in enumerate((0, 250, 500, 750, 999)):
-            flows.append((
-                jax.random.normal(jax.random.fold_in(key, 1000 + i),
-                                  (2 * n, 64, 64, 4), dtype),
-                jnp.full((2 * n,), tt, jnp.int32),
-                jax.random.normal(jax.random.fold_in(key, 2000 + i),
-                                  (2 * n, 77, 768), dtype) * 0.5,
-                "image", "text"))
-        scales = quant.calibrate(model, params, flows)
-        model.quant_scales = None
-        params = {"params": params, "quant": scales}
-        log(f"calibration {time.perf_counter() - t0:.1f}s")
+        params = calibrate_int8(model, params, n, dtype, cond1, uncond1)
 
     vae_cfg = dict(cfgm["args"]["vae_cfg_list"])["image"]
     vae = build(vae_cfg, dtype=dtype)
@@ -119,8 +105,8 @@ def main():
         return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
 
     key = jax.random.PRNGKey(42)
-    cond = jnp.zeros((n, 77, 768), dtype)
-    uncond = jnp.zeros((n, 77, 768), dtype)
+    cond = jnp.tile(cond1, (n, 1, 1))
+    uncond = jnp.tile(uncond1, (n, 1, 1))
     cargs = (params, vparams, cond, uncond, key)
     t0 = time.perf_counter()
     if opts:

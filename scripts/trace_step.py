@@ -36,38 +36,25 @@ def main():
     from vdtpu.ops import quant
     from vdtpu.utils.profiling import summarize_trace, trace
 
-    quant.set_policy(None if args.policy == "none" else args.policy)
+    from _common import calibrate_int8, clip_conditioning, fill_params
+
     dtype = jnp.bfloat16
     n = args.batch
     cfgm = model_cfg_bank()("vd_four_flow_v1-0")
+    # headline-bench methodology (code-review r3 alignment): CLIP-encoded
+    # conditioning drives calibration and the traced step
+    cond1, uncond1 = clip_conditioning(cfgm, dtype)
+    quant.set_policy(None if args.policy == "none" else args.policy)
     model = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
-    shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
-                            jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    params = fill_params(model)
     key = jax.random.PRNGKey(0)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-        for i, l in enumerate(leaves)])
-    jax.block_until_ready(params)
-    log("params ready")
 
     if args.policy != "none":
-        flows = []
-        for i, tt in enumerate((0, 250, 500, 750, 999)):
-            flows.append((
-                jax.random.normal(jax.random.fold_in(key, 1000 + i),
-                                  (2 * n, 64, 64, 4), dtype),
-                jnp.full((2 * n,), tt, jnp.int32),
-                jax.random.normal(jax.random.fold_in(key, 2000 + i),
-                                  (2 * n, 77, 768), dtype) * 0.5,
-                "image", "text"))
-        scales = quant.calibrate(model, params, flows)
-        model.quant_scales = None
-        params = {"params": params, "quant": scales}
+        params = calibrate_int8(model, params, n, dtype, cond1, uncond1)
         log("calibrated")
 
-    ctx = jax.random.normal(jax.random.fold_in(key, 7),
-                            (2 * n, 77, 768), dtype) * 0.5
+    ctx = jnp.concatenate([jnp.tile(uncond1, (n, 1, 1)),
+                           jnp.tile(cond1, (n, 1, 1))], axis=0)
 
     @jax.jit
     def scan20(params, x0, ctx):

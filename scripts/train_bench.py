@@ -59,18 +59,12 @@ def main():
                                 use_checkpoint=not args.no_remat,
                                 remat_max_channels=args.remat_max_ch)
 
-    t0 = time.perf_counter()
-    shapes = jax.eval_shape(lambda k: model.init_params(k, jit=False),
-                            jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    from _common import fill_params
+    params = fill_params(model)
     key = jax.random.PRNGKey(0)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
-        for i, l in enumerate(leaves)])
-    jax.block_until_ready(params)
     size = lambda t: sum(int(np.prod(l.shape))
                          for l in jax.tree_util.tree_leaves(t))
-    log(f"params {size(params)/1e9:.2f}B in {time.perf_counter() - t0:.1f}s")
+    log(f"params {size(params)/1e9:.2f}B")
 
     # t2i flow split: image tower fully trained; text tower contributes only
     # its context blocks + their norms (walk(ctx_host=text), vd.py flow map)
