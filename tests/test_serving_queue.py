@@ -54,6 +54,51 @@ def test_eta_nonzero_rejected(vdi):
         BatchingQueue(bad)
 
 
+def _recording(vdi, sizes):
+    """copy of vdi whose _sample records the dispatched batch size."""
+    import copy
+    probe = copy.copy(vdi)
+    orig = vdi._sample
+
+    def rec(key, shape, xinfo, cinfo):
+        sizes.append(shape[0])
+        return orig(key, shape, xinfo, cinfo)
+
+    probe._sample = rec
+    return probe
+
+
+def test_deadline_dispatches_partial_bucket(vdi):
+    import time
+    # warm the bucket-4 executable so the timed section measures gather only
+    with BatchingQueue(vdi, buckets=(4,), max_wait_ms=1.0) as q:
+        warm = q.submit("warm", 5).result(timeout=600)
+    sizes = []
+    probe = _recording(vdi, sizes)
+    # per-gap wait is 30 s: without the deadline a lone request would sit in
+    # _gather for 90 s before its batch even started
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=30_000.0,
+                       deadline_ms=250.0) as q:
+        t0 = time.monotonic()
+        img = q.submit("warm", 5).result(timeout=600)
+        dt = time.monotonic() - t0
+    assert sizes == [4]  # still padded to the compiled bucket
+    assert dt < 20.0, f"deadline did not cut the coalescing wait ({dt:.1f}s)"
+    # same image as the fully-waited path (composition independence)
+    np.testing.assert_allclose(img, warm, atol=1e-5)
+
+
+def test_deadline_still_coalesces_within_budget(vdi):
+    sizes = []
+    probe = _recording(vdi, sizes)
+    with BatchingQueue(probe, buckets=(2,), max_wait_ms=250.0,
+                       deadline_ms=10_000.0) as q:
+        a = q.submit("twin", 7)
+        b = q.submit("twin", 7)
+        np.testing.assert_allclose(a.result(600), b.result(600), atol=1e-6)
+    assert sizes == [2]  # one coalesced dispatch, not two
+
+
 def test_close_drains_pending(vdi):
     q = BatchingQueue(vdi, buckets=(2,), max_wait_ms=50.0)
     f = q.submit("drain me", 3)

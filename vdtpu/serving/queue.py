@@ -8,6 +8,12 @@ CFG-batched sampler call:
 
 - Requests arriving within `max_wait_ms` of each other (up to the largest
   bucket) run as one batch.
+- `deadline_ms` (optional) bounds coalescing latency: once the OLDEST
+  queued request has waited that long since `submit`, the worker stops
+  waiting for more arrivals and dispatches the partial bucket (already
+  queued requests still ride along for free). Without it, a steady
+  trickle of arrivals can hold the first request for up to
+  (largest_bucket - 1) x max_wait_ms before its batch even starts.
 - Batch sizes are padded up to fixed `buckets` so every composition reuses
   a compiled executable — XLA recompiles on any new shape, and a fresh
   batch size costs minutes on the full model (PERF.md cold-start table).
@@ -25,6 +31,7 @@ from __future__ import annotations
 
 import queue as _queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -38,12 +45,14 @@ class _Request:
     text: str
     seed: int
     future: Future = field(default_factory=Future)
+    t_enq: float = field(default_factory=time.monotonic)
 
 
 class BatchingQueue:
     """Batches concurrent `t2i` requests through one VDInference sampler call."""
 
-    def __init__(self, inference, buckets=(1, 2, 4, 8), max_wait_ms: float = 20.0):
+    def __init__(self, inference, buckets=(1, 2, 4, 8), max_wait_ms: float = 20.0,
+                 deadline_ms: float | None = None):
         if float(inference.ddim_eta) != 0.0:
             raise ValueError("BatchingQueue requires eta=0 (deterministic DDIM): "
                              "eta>0 draws batch-shaped noise, which would make "
@@ -51,6 +60,7 @@ class BatchingQueue:
         self.inf = inference
         self.buckets = tuple(sorted(int(b) for b in buckets))
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.deadline_s = None if deadline_ms is None else float(deadline_ms) / 1e3
         self._q: _queue.Queue[_Request | None] = _queue.Queue()
         self._uncond1 = None  # [1, 77, ctx] encoding of "", computed once
         self._closed = False
@@ -90,14 +100,29 @@ class BatchingQueue:
 
     def _gather(self) -> list[_Request] | None:
         """Block for the first request, then coalesce arrivals up to the
-        largest bucket or until max_wait_ms passes with an empty queue."""
+        largest bucket, until max_wait_ms passes with an empty queue, or —
+        with deadline_ms set — until the oldest request's latency budget
+        for coalescing is spent (measured from its `submit`, so time spent
+        queued behind a previous in-flight batch counts)."""
         first = self._q.get()
         if first is None:
             return None
         batch = [first]
+        deadline = (None if self.deadline_s is None
+                    else first.t_enq + self.deadline_s)
         while len(batch) < self.buckets[-1]:
+            timeout = self.max_wait_s
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    # budget spent: sweep whatever is already queued
+                    # (free riders), but don't wait for new arrivals
+                    timeout = None
+                else:
+                    timeout = min(timeout, remaining)
             try:
-                r = self._q.get(timeout=self.max_wait_s)
+                r = (self._q.get_nowait() if timeout is None
+                     else self._q.get(timeout=timeout))
             except _queue.Empty:
                 break
             if r is None:  # close(): process what we have, then stop
