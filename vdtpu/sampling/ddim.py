@@ -32,8 +32,12 @@ class DDIMTables:
 
     @classmethod
     def create(cls, schedule: DiffusionSchedule, steps: int, eta: float = 0.0,
-               discretize: str = "uniform", truncate: int | None = None) -> "DDIMTables":
-        ts = make_ddim_timesteps(steps, schedule.num_timesteps, discretize)
+               discretize: str = "uniform", truncate: int | None = None,
+               timesteps=None) -> "DDIMTables":
+        """timesteps: optional explicit ascending ladder (overrides the
+        `steps`/`discretize` construction — custom spacings)."""
+        ts = (np.asarray(timesteps, np.int64) if timesteps is not None
+              else make_ddim_timesteps(steps, schedule.num_timesteps, discretize))
         sig, al, alp = make_ddim_sampling_parameters(schedule.alphas_cumprod, ts, eta)
         if truncate is not None:  # img2img: only the first `truncate` steps are used
             ts, sig, al, alp = ts[:truncate], sig[:truncate], al[:truncate], alp[:truncate]
@@ -277,7 +281,7 @@ class DDIMSampler:
     def sample(self, params, key, steps, shape, x_info, c_info,
                eta=0.0, temperature=1.0, noise_dropout=0.0,
                return_intermediates=False, dtype=jnp.float32,
-               noise_table=None, encoder_reuse=None):
+               noise_table=None, encoder_reuse=None, method="ddim"):
         """Single-context sampling with CFG (ref ddim.py:58-127).
 
         noise_table (and x_info['noise'] in x0 mode) inject captured torch
@@ -287,7 +291,13 @@ class DDIMSampler:
         the exact DDIM path is the headline): int reuse interval or
         {"interval": k, "warmup": w}; non-key steps skip the UNet encoder
         and reuse cached features (Faster Diffusion, arXiv 2312.09608).
-        Quality gate: tests/test_encreuse.py + PERF.md."""
+        Quality gate: tests/test_encreuse.py + PERF.md.
+
+        method: "ddim" (default, the reference algorithm) or "dpmpp2m"
+        (DPM-Solver++(2M), sampling/dpmpp.py): second-order deterministic
+        solver over the same timestep ladder and terminal point — DDIM-50
+        -class trajectories at ~20 steps. Requires eta=0 and is exclusive
+        with the noise/injection/encoder-reuse options."""
         x_type = x_info["type"]
         c_type = c_info["type"]
         scale = float(c_info.get("unconditional_guidance_scale", 1.0))
@@ -306,11 +316,20 @@ class DDIMSampler:
             if has_ntab or return_intermediates:
                 raise ValueError("encoder_reuse is incompatible with "
                                  "noise_table / return_intermediates")
+        if method not in ("ddim", "dpmpp2m"):
+            raise ValueError(f"unknown sampling method {method!r}")
+        if method == "dpmpp2m" and (
+                float(eta) != 0.0 or has_ntab or return_intermediates
+                or enc_spec is not None):
+            raise ValueError("dpmpp2m is deterministic: requires eta=0 and is "
+                             "exclusive with noise_table / "
+                             "return_intermediates / encoder_reuse")
         cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
                      mode, k, float(temperature), float(noise_dropout),
                      bool(return_intermediates), uncond_is_none, str(dtype),
                      has_ntab, has_qn,
-                     None if enc_spec is None else tuple(sorted(enc_spec.items())))
+                     None if enc_spec is None else tuple(sorted(enc_spec.items())),
+                     method)
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
@@ -349,6 +368,12 @@ class DDIMSampler:
                     lambda xx, tt, cc: self.model.apply_model(
                         params, xx, tt, cc, x_type, c_type),
                     cond, None if uncond_is_none else uncond, scale)
+                if method == "dpmpp2m":
+                    from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
+                    dtbl = DPMppTables.create(
+                        self.model.schedule, steps,
+                        truncate=k if mode == "x0" else None)
+                    return dpmpp_scan(eps, x, dtbl)
                 return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
                                  return_intermediates,
                                  noise_table=ntab if has_ntab else None)
@@ -368,8 +393,15 @@ class DDIMSampler:
     def sample_multicontext(self, params, key, steps, shape, x_info, c_info_list,
                             eta=0.0, temperature=1.0, noise_dropout=0.0,
                             mixing_type="attention", layer_choices=None,
-                            return_intermediates=False, dtype=jnp.float32):
-        """Multi-context sampling (ref ddim.py:173-242)."""
+                            return_intermediates=False, dtype=jnp.float32,
+                            method="ddim"):
+        """Multi-context sampling (ref ddim.py:173-242). `method` as in
+        sample(): "ddim" or the deterministic "dpmpp2m"."""
+        if method not in ("ddim", "dpmpp2m"):
+            raise ValueError(f"unknown sampling method {method!r}")
+        if method == "dpmpp2m" and (float(eta) != 0.0 or return_intermediates):
+            raise ValueError("dpmpp2m is deterministic: requires eta=0 and is "
+                             "exclusive with return_intermediates")
         scales = {float(ci.get("unconditional_guidance_scale", 1.0)) for ci in c_info_list}
         if len(scales) != 1:
             raise ValueError("all contexts must share one guidance scale "
@@ -386,7 +418,7 @@ class DDIMSampler:
         cache_key = ("multi", steps, float(eta), shape, x_type, c_types, scale,
                      ratios, mode, k, float(temperature), float(noise_dropout),
                      mixing_type, layer_choices is None,
-                     bool(return_intermediates), ctx_shapes, str(dtype))
+                     bool(return_intermediates), ctx_shapes, str(dtype), method)
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
@@ -411,6 +443,12 @@ class DDIMSampler:
                     {"conditioning": c, "unconditional_conditioning": u}
                     for c, u in zip(conds, unconds)]
                 eps = cfg_eps_fn_multicontext(apply_multi, c_infos, scale)
+                if method == "dpmpp2m":
+                    from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
+                    dtbl = DPMppTables.create(
+                        self.model.schedule, steps,
+                        truncate=k if mode == "x0" else None)
+                    return dpmpp_scan(eps, x, dtbl)
                 return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
                                  return_intermediates)
             return run
