@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--tag", default="")
     ap.add_argument("--encreuse", type=int, default=0,
                     help="encoder-reuse interval (0 = exact path)")
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp2m"],
+                    help="dpmpp2m: pair with --steps 20 (matched-quality "
+                         "point, tests/test_dpmpp.py)")
+    ap.add_argument("--cfg-interval", default="",
+                    help="lo,hi trajectory fractions for limited-interval "
+                         "CFG (half-batch UNet outside the band)")
     ap.add_argument("--scan-only", action="store_true",
                     help="time the bare CFG UNet scan (no decode) too")
     args = ap.parse_args()
@@ -96,11 +102,27 @@ def main():
                 cond, uncond, 7.5)
             x = ddim_scan_encreuse(eps, x, key, tables, mask, cache0)
         else:
-            eps = cfg_eps_fn(
-                lambda x_, t, c: model.apply_model(params, x_, t, c,
-                                                   "image", "text"),
-                cond, uncond, 7.5)
-            x = ddim_scan(eps, x, key, tables)
+            apply = lambda x_, t, c: model.apply_model(params, x_, t, c,
+                                                       "image", "text")
+            eps = cfg_eps_fn(apply, cond, uncond, 7.5)
+            if args.sampler == "dpmpp2m":
+                from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
+                x = dpmpp_scan(eps, x, DPMppTables.create(
+                    model.schedule, args.steps))
+            elif args.cfg_interval:
+                from vdtpu.sampling.ddim import slice_tables
+                lo, hi = (float(v) for v in args.cfg_interval.split(","))
+                a = int(round(lo * args.steps))
+                b = int(round(hi * args.steps))
+                eps_c = cfg_eps_fn(apply, cond, None, 1.0)  # cond-only
+                for s0, s1, fn in ((0, a, eps_c), (a, b, eps),
+                                   (b, args.steps, eps_c)):
+                    if s1 > s0:
+                        x, key = ddim_scan(fn, x, key,
+                                           slice_tables(tables, s0, s1),
+                                           return_final_key=True)
+            else:
+                x = ddim_scan(eps, x, key, tables)
         z = model.unscale_latent(x, "image")
         return vae.apply({"params": vparams}, z, method=AutoencoderKL.decode)
 
@@ -128,6 +150,8 @@ def main():
     med = sorted(times)[len(times) // 2]
     print(json.dumps({
         "tag": args.tag, "batch": n, "policy": args.policy, "xla": args.xla,
+        "sampler": args.sampler, "steps": args.steps,
+        "cfg_interval": args.cfg_interval,
         "median_s": round(med, 4), "images_per_sec": round(n / med, 4),
         "compile_s": round(compile_s, 1),
         "runs": [round(t, 4) for t in times],

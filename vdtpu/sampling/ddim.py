@@ -81,13 +81,17 @@ def ddim_scan(
     x_init, key, tables: DDIMTables, temperature: float = 1.0,
     noise_dropout: float = 0.0, return_intermediates: bool = False,
     noise_table=None,          # [S, *x.shape] pre-drawn unit normals
+    return_final_key: bool = False,
 ):
     """Run the full reversed-timestep loop as one lax.scan.
 
     return_intermediates stacks (pred_xt, pred_x0) per step (the reference's
     intermediates log, ddim.py:107-125) — callers subsample as needed.
     noise_table replaces the in-scan PRNG draws with captured torch noise
-    (interop/noise.py) for bit-comparability runs."""
+    (interop/noise.py) for bit-comparability runs.
+    return_final_key additionally returns the scan's carry key, so segmented
+    callers (the cfg_interval mode) reproduce the exact key stream of one
+    long scan."""
     ts, al, alp, sig, som = tables.stacked()
     n = ts.shape[0]
     bsz = x_init.shape[0]
@@ -111,10 +115,21 @@ def ddim_scan(
     xs = (idx, ts, al, alp, sig, som)
     if noise_table is not None:
         xs = (xs, noise_table)
-    (x, _), inter = jax.lax.scan(step, (x_init, key), xs)
+    (x, key_out), inter = jax.lax.scan(step, (x_init, key), xs)
     if return_intermediates:
         return x, {"pred_xt": inter[0], "pred_x0": inter[1]}
+    if return_final_key:
+        return x, key_out
     return x
+
+
+def slice_tables(tables: DDIMTables, a: int, b: int) -> DDIMTables:
+    """Rows [a, b) of the descending-ordered tables (static host-side slice)."""
+    cut = lambda arr: arr[a:b]
+    return dataclasses.replace(
+        tables, timesteps=cut(tables.timesteps), alphas=cut(tables.alphas),
+        alphas_prev=cut(tables.alphas_prev), sigmas=cut(tables.sigmas),
+        sqrt_one_minus_alphas=cut(tables.sqrt_one_minus_alphas))
 
 
 def encoder_reuse_schedule(steps: int, interval: int = 2,
@@ -281,7 +296,8 @@ class DDIMSampler:
     def sample(self, params, key, steps, shape, x_info, c_info,
                eta=0.0, temperature=1.0, noise_dropout=0.0,
                return_intermediates=False, dtype=jnp.float32,
-               noise_table=None, encoder_reuse=None, method="ddim"):
+               noise_table=None, encoder_reuse=None, method="ddim",
+               cfg_interval=None):
         """Single-context sampling with CFG (ref ddim.py:58-127).
 
         noise_table (and x_info['noise'] in x0 mode) inject captured torch
@@ -297,7 +313,15 @@ class DDIMSampler:
         (DPM-Solver++(2M), sampling/dpmpp.py): second-order deterministic
         solver over the same timestep ladder and terminal point — DDIM-50
         -class trajectories at ~20 steps. Requires eta=0 and is exclusive
-        with the noise/injection/encoder-reuse options."""
+        with the noise/injection/encoder-reuse options.
+
+        cfg_interval: opt-in APPROXIMATE serving mode (off by default) —
+        (lo, hi) fractions of the sampling trajectory (0 = x_T): CFG runs
+        only on steps in that band; outside it the conditional model runs
+        alone at HALF the UNet batch (limited-interval guidance,
+        Kynkäänniemi et al., arXiv 2404.07724). Compiled as three
+        statically-sliced scan segments with the PRNG key threaded
+        through, so (0, 1) is bit-identical to the plain CFG path."""
         x_type = x_info["type"]
         c_type = c_info["type"]
         scale = float(c_info.get("unconditional_guidance_scale", 1.0))
@@ -324,12 +348,25 @@ class DDIMSampler:
             raise ValueError("dpmpp2m is deterministic: requires eta=0 and is "
                              "exclusive with noise_table / "
                              "return_intermediates / encoder_reuse")
+        cfg_itv = None
+        if cfg_interval is not None:
+            cfg_itv = (float(cfg_interval[0]), float(cfg_interval[1]))
+            if not (0.0 <= cfg_itv[0] <= cfg_itv[1] <= 1.0):
+                raise ValueError("cfg_interval must satisfy 0 <= lo <= hi <= 1")
+            if scale == 1.0 or uncond_is_none:
+                raise ValueError("cfg_interval requires active CFG "
+                                 "(scale != 1 with an unconditional context)")
+            if method != "ddim" or enc_spec is not None or has_ntab \
+                    or return_intermediates:
+                raise ValueError("cfg_interval composes only with the plain "
+                                 "ddim path (no dpmpp2m / encoder_reuse / "
+                                 "noise_table / return_intermediates)")
         cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
                      mode, k, float(temperature), float(noise_dropout),
                      bool(return_intermediates), uncond_is_none, str(dtype),
                      has_ntab, has_qn,
                      None if enc_spec is None else tuple(sorted(enc_spec.items())),
-                     method)
+                     method, cfg_itv)
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
@@ -364,16 +401,29 @@ class DDIMSampler:
                         cond, None if uncond_is_none else uncond, scale)
                     return ddim_scan_encreuse(eps, x, key, tbl, mask, cache0,
                                               temperature, noise_dropout)
-                eps = cfg_eps_fn(
-                    lambda xx, tt, cc: self.model.apply_model(
-                        params, xx, tt, cc, x_type, c_type),
-                    cond, None if uncond_is_none else uncond, scale)
+                apply = lambda xx, tt, cc: self.model.apply_model(
+                    params, xx, tt, cc, x_type, c_type)
+                eps = cfg_eps_fn(apply, cond,
+                                 None if uncond_is_none else uncond, scale)
                 if method == "dpmpp2m":
                     from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
                     dtbl = DPMppTables.create(
                         self.model.schedule, steps,
                         truncate=k if mode == "x0" else None)
                     return dpmpp_scan(eps, x, dtbl)
+                if cfg_itv is not None:
+                    s_eff = len(tbl.timesteps)  # static (x0 mode truncates)
+                    a = int(round(cfg_itv[0] * s_eff))
+                    b = int(round(cfg_itv[1] * s_eff))
+                    eps_c = cfg_eps_fn(apply, cond, None, 1.0)  # cond-only
+                    for lo, hi, fn in ((0, a, eps_c), (a, b, eps),
+                                       (b, s_eff, eps_c)):
+                        if hi > lo:
+                            x, key = ddim_scan(
+                                fn, x, key, slice_tables(tbl, lo, hi),
+                                temperature, noise_dropout,
+                                return_final_key=True)
+                    return x
                 return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
                                  return_intermediates,
                                  noise_table=ntab if has_ntab else None)

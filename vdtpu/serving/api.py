@@ -230,7 +230,7 @@ class VDInference:
                  n_sample_image=2, n_sample_text=4,
                  image_latent_dim=4, text_latent_dim=768,
                  latent_downsample=8, mesh=None, encoder_reuse=None,
-                 sampler="ddim"):
+                 sampler="ddim", cfg_interval=None):
         self.sys = system
         # batch-parallel serving: with a mesh, conditioning tensors are
         # placed batch-sharded over the dp axis and every downstream op
@@ -256,6 +256,10 @@ class VDInference:
         # second-order deterministic solver — DDIM-50-class quality at
         # ~20 steps; pair with ddim_steps=20 and ddim_eta=0
         self.sampler = sampler
+        # opt-in APPROXIMATE mode (limited-interval guidance, arXiv
+        # 2404.07724): (lo, hi) trajectory fractions where CFG is active;
+        # outside them the UNet runs at half batch. None = full CFG.
+        self.cfg_interval = cfg_interval
         self.adjust_rank_f = AdjustRank(max_drop_rank=(1, 5), q=20)
         self.disentanglement_noglobal = True
 
@@ -296,7 +300,8 @@ class VDInference:
         return self.sys.sampler.sample(
             self.sys.params["diffuser"], key, self.ddim_steps, shape,
             x_info, c_info, eta=self.ddim_eta, dtype=self.sys.dtype,
-            encoder_reuse=self.encoder_reuse, method=self.sampler)
+            encoder_reuse=self.encoder_reuse, method=self.sampler,
+            cfg_interval=self.cfg_interval)
 
     def _sample_multi(self, key, shape, x_info, c_info_list):
         c_info_list = [self._shard_batch(ci) for ci in c_info_list]

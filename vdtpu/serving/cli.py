@@ -66,7 +66,10 @@ def build_inference(args):
                        text_latent_dim=args.text_latent_dim,
                        latent_downsample=args.latent_downsample,
                        encoder_reuse=args.encoder_reuse or None,
-                       sampler=args.sampler)
+                       sampler=args.sampler,
+                       cfg_interval=(tuple(float(v) for v in
+                                           args.cfg_interval.split(","))
+                                     if args.cfg_interval else None))
 
 
 def main(argv=None):
@@ -105,6 +108,10 @@ def main(argv=None):
                    help="dpmpp2m: second-order deterministic solver — "
                         "DDIM-50-class quality at ~20 steps (pair with "
                         "--steps 20)")
+    p.add_argument("--cfg-interval", default=None, metavar="LO,HI",
+                   help="opt-in approximate mode: trajectory fractions "
+                        "where CFG is active (e.g. 0.0,0.7); outside them "
+                        "the UNet runs at half batch")
     args = p.parse_args(argv)
 
     vdi = build_inference(args)
