@@ -153,6 +153,35 @@ def main():
         variants[f"int8+encreuse{interval}"] = (x_e, img_e)
         log(f"encreuse{interval} {time.perf_counter() - t0:.1f}s")
 
+    # limited-interval CFG (arXiv 2404.07724). NOTE on reading this row:
+    # unlike int8/encreuse (approximations of the SAME output), this mode
+    # intentionally changes guidance semantics outside the band, so
+    # divergence vs the full-CFG reference is the mode's definition, not
+    # an error — the row bounds how far the band choice moves the output.
+    def run_cfg_interval(model, p, lo, hi):
+        from vdtpu.sampling.ddim import slice_tables
+        a, b = int(round(lo * steps)), int(round(hi * steps))
+
+        @jax.jit
+        def f(p, cond, uncond, key):
+            apply = lambda xx, t, c: model.apply_model(p, xx, t, c,
+                                                       "image", "text")
+            eps = cfg_eps_fn(apply, cond, uncond, 7.5)
+            eps_c = cfg_eps_fn(apply, cond, None, 1.0)
+            x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+            for s0, s1, fn in ((0, a, eps_c), (a, b, eps), (b, steps, eps_c)):
+                if s1 > s0:
+                    x, key = ddim_scan(fn, x, key, slice_tables(tables, s0, s1),
+                                       return_final_key=True)
+            return x
+        return np.asarray(f(p, cond, uncond, skey), np.float32)
+
+    t0 = time.perf_counter()
+    x_ci = run_cfg_interval(model_q, pq, 0.1, 0.8)
+    variants["int8+cfgitv(0.1,0.8)"] = (
+        x_ci, np.asarray(decode(jnp.asarray(x_ci)), np.float32))
+    log(f"cfg_interval {time.perf_counter() - t0:.1f}s")
+
     def cos(a, b):
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
         return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
