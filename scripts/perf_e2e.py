@@ -100,7 +100,14 @@ def main():
                 lambda xx, tt, cc, uc, cache: model.apply_model_encreuse(
                     params, xx, tt, cc, "image", "text", cache, uc),
                 cond, uncond, 7.5)
-            x = ddim_scan_encreuse(eps, x, key, tables, mask, cache0)
+            if args.sampler == "dpmpp2m":
+                from vdtpu.sampling.dpmpp import (DPMppTables,
+                                                  dpmpp_scan_encreuse)
+                x = dpmpp_scan_encreuse(
+                    eps, x, DPMppTables.create(model.schedule, args.steps),
+                    mask, cache0)
+            else:
+                x = ddim_scan_encreuse(eps, x, key, tables, mask, cache0)
         else:
             apply = lambda x_, t, c: model.apply_model(params, x_, t, c,
                                                        "image", "text")
@@ -151,7 +158,7 @@ def main():
     print(json.dumps({
         "tag": args.tag, "batch": n, "policy": args.policy, "xla": args.xla,
         "sampler": args.sampler, "steps": args.steps,
-        "cfg_interval": args.cfg_interval,
+        "cfg_interval": args.cfg_interval, "encreuse": args.encreuse,
         "median_s": round(med, 4), "images_per_sec": round(n / med, 4),
         "compile_s": round(compile_s, 1),
         "runs": [round(t, 4) for t in times],

@@ -92,8 +92,8 @@ def test_validation(sched):
         _run(s, ci, cfg_interval=(0.7, 0.2))
     with pytest.raises(ValueError, match="active CFG"):
         _run(s, _c_info(1.0), cfg_interval=(0.2, 0.8))
-    with pytest.raises(ValueError, match="composes only"):
-        _run(s, ci, cfg_interval=(0.2, 0.8), method="dpmpp2m")
+    with pytest.raises(ValueError, match="composes with"):
+        _run(s, ci, cfg_interval=(0.2, 0.8), encoder_reuse=2)
     no_uncond = dict(_c_info(5.0), unconditional_conditioning=None)
     with pytest.raises(ValueError, match="active CFG"):
         _run(s, no_uncond, cfg_interval=(0.2, 0.8))

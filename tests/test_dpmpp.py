@@ -172,7 +172,7 @@ def test_method_validation(sched):
                  x_info, c_info, eta=0.5, method="dpmpp2m")
     with pytest.raises(ValueError, match="deterministic"):
         s.sample(None, jax.random.PRNGKey(0), 4, (1, 4, 4, 3),
-                 x_info, c_info, method="dpmpp2m", encoder_reuse=2)
+                 x_info, c_info, method="dpmpp2m", return_intermediates=True)
     # valid: runs and is finite + deterministic in the key
     a = s.sample(None, jax.random.PRNGKey(0), 4, (1, 4, 4, 3),
                  x_info, c_info, method="dpmpp2m")
@@ -180,6 +180,88 @@ def test_method_validation(sched):
                  x_info, c_info, method="dpmpp2m")
     assert np.isfinite(np.asarray(a)).all()
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segmented_scan_bit_identical(sched):
+    """slice_tables + the (x, m_prev) carry: a segmented run performs the
+    same per-step ops in the same order as one whole scan (the invariant
+    the cfg_interval composition relies on)."""
+    from vdtpu.sampling.dpmpp import slice_tables
+
+    tbl = DPMppTables.create(sched, 20)
+    eps = lambda x, t_b, i: 0.1 * x + 0.01 * t_b[:, None].astype(x.dtype)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (3, 8), jnp.float32)
+    whole = np.asarray(dpmpp_scan(eps, x0, tbl))
+    x, m = x0, None
+    for a, b in ((0, 7), (7, 15), (15, 20)):
+        x, m = dpmpp_scan(eps, x, slice_tables(tbl, a, b), m_prev=m,
+                          return_carry=True)
+    np.testing.assert_array_equal(np.asarray(x), whole)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    """Tiny VD model with zero-init convs random-filled (see
+    test_encreuse.py — a fresh-init UNet outputs identically zero)."""
+    from vdtpu.config.bank import model_cfg_bank
+    from vdtpu.models.vd import VDModel
+
+    model = VDModel.from_config(model_cfg_bank()("vd_test_tiny"),
+                                dtype=jnp.float32, use_checkpoint=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    key = jax.random.PRNGKey(7)
+    leaves = [
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype) * 0.02
+        if float(jnp.abs(l).max()) == 0.0 else l
+        for i, l in enumerate(leaves)]
+    return model, treedef.unflatten(leaves)
+
+
+def _sample_tiny(model, params, **kw):
+    cond = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 96)) * 0.3
+    sampler = DDIMSampler(model)
+    return np.asarray(sampler.sample(
+        params, jax.random.PRNGKey(7), steps=8, shape=(2, 8, 8, 4),
+        x_info={"type": "image"},
+        c_info={"type": "text", "conditioning": cond,
+                "unconditional_conditioning": jnp.zeros_like(cond),
+                "unconditional_guidance_scale": 4.0},
+        method="dpmpp2m", **kw))
+
+
+def test_dpmpp_cfg_interval_composition(tiny):
+    """cfg_interval=(0,1) keeps one full-CFG segment -> bit-identical to
+    the plain dpmpp2m path; a real band must diverge (cond-only segments
+    actually ran at scale 1) yet stay on-trajectory."""
+    model, params = tiny
+    exact = _sample_tiny(model, params)
+    full_band = _sample_tiny(model, params, cfg_interval=(0.0, 1.0))
+    np.testing.assert_array_equal(full_band, exact)
+    banded = _sample_tiny(model, params, cfg_interval=(0.25, 0.75))
+    assert np.isfinite(banded).all()
+    assert np.abs(banded - exact).max() > 1e-6
+    cos = (banded * exact).sum() / (
+        np.linalg.norm(banded) * np.linalg.norm(exact) + 1e-9)
+    assert cos > 0.9, cos
+
+
+def test_dpmpp_encreuse_composition(tiny):
+    """interval=1 (every step a key step) reproduces the exact dpmpp2m
+    sample through the stateful encoder-cache path; interval=2 skips
+    encoder work yet stays on-trajectory."""
+    model, params = tiny
+    exact = _sample_tiny(model, params)
+    every = _sample_tiny(model, params,
+                         encoder_reuse={"interval": 1, "warmup": 0})
+    np.testing.assert_allclose(every, exact, rtol=2e-5, atol=2e-5)
+    approx = _sample_tiny(model, params,
+                          encoder_reuse={"interval": 2, "warmup": 2})
+    assert np.isfinite(approx).all()
+    assert np.abs(approx - exact).max() > 1e-6
+    cos = (approx * exact).sum() / (
+        np.linalg.norm(approx) * np.linalg.norm(exact) + 1e-9)
+    assert cos > 0.9, cos
 
 
 def test_vdinference_dpmpp_flow():

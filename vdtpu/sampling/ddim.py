@@ -313,7 +313,8 @@ class DDIMSampler:
         (DPM-Solver++(2M), sampling/dpmpp.py): second-order deterministic
         solver over the same timestep ladder and terminal point — DDIM-50
         -class trajectories at ~20 steps. Requires eta=0 and is exclusive
-        with the noise/injection/encoder-reuse options.
+        with the noise-injection/intermediates options; composes with
+        encoder_reuse and cfg_interval (each still opt-in).
 
         cfg_interval: opt-in APPROXIMATE serving mode (off by default) —
         (lo, hi) fractions of the sampling trajectory (0 = x_T): CFG runs
@@ -343,11 +344,10 @@ class DDIMSampler:
         if method not in ("ddim", "dpmpp2m"):
             raise ValueError(f"unknown sampling method {method!r}")
         if method == "dpmpp2m" and (
-                float(eta) != 0.0 or has_ntab or return_intermediates
-                or enc_spec is not None):
+                float(eta) != 0.0 or has_ntab or return_intermediates):
             raise ValueError("dpmpp2m is deterministic: requires eta=0 and is "
                              "exclusive with noise_table / "
-                             "return_intermediates / encoder_reuse")
+                             "return_intermediates")
         cfg_itv = None
         if cfg_interval is not None:
             cfg_itv = (float(cfg_interval[0]), float(cfg_interval[1]))
@@ -356,11 +356,10 @@ class DDIMSampler:
             if scale == 1.0 or uncond_is_none:
                 raise ValueError("cfg_interval requires active CFG "
                                  "(scale != 1 with an unconditional context)")
-            if method != "ddim" or enc_spec is not None or has_ntab \
-                    or return_intermediates:
-                raise ValueError("cfg_interval composes only with the plain "
-                                 "ddim path (no dpmpp2m / encoder_reuse / "
-                                 "noise_table / return_intermediates)")
+            if enc_spec is not None or has_ntab or return_intermediates:
+                raise ValueError("cfg_interval composes with ddim or dpmpp2m "
+                                 "only (no encoder_reuse / noise_table / "
+                                 "return_intermediates)")
         cache_key = ("single", steps, float(eta), shape, x_type, c_type, scale,
                      mode, k, float(temperature), float(noise_dropout),
                      bool(return_intermediates), uncond_is_none, str(dtype),
@@ -399,6 +398,13 @@ class DDIMSampler:
                         lambda xx, tt, cc, uc, cache: self.model.apply_model_encreuse(
                             params, xx, tt, cc, x_type, c_type, cache, uc),
                         cond, None if uncond_is_none else uncond, scale)
+                    if method == "dpmpp2m":
+                        from vdtpu.sampling.dpmpp import (
+                            DPMppTables, dpmpp_scan_encreuse)
+                        dtbl = DPMppTables.create(
+                            self.model.schedule, steps,
+                            truncate=k if mode == "x0" else None)
+                        return dpmpp_scan_encreuse(eps, x, dtbl, mask, cache0)
                     return ddim_scan_encreuse(eps, x, key, tbl, mask, cache0,
                                               temperature, noise_dropout)
                 apply = lambda xx, tt, cc: self.model.apply_model(
@@ -407,9 +413,25 @@ class DDIMSampler:
                                  None if uncond_is_none else uncond, scale)
                 if method == "dpmpp2m":
                     from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
+                    from vdtpu.sampling.dpmpp import slice_tables as dslice
                     dtbl = DPMppTables.create(
                         self.model.schedule, steps,
                         truncate=k if mode == "x0" else None)
+                    if cfg_itv is not None:
+                        # same three statically-sliced segments as the ddim
+                        # branch below; the solver's two-step history rides
+                        # the (x, m_prev) carry across segment boundaries.
+                        s_eff = len(dtbl.timesteps)
+                        a = int(round(cfg_itv[0] * s_eff))
+                        b = int(round(cfg_itv[1] * s_eff))
+                        eps_c = cfg_eps_fn(apply, cond, None, 1.0)
+                        m = None
+                        for lo, hi, fn in ((0, a, eps_c), (a, b, eps),
+                                           (b, s_eff, eps_c)):
+                            if hi > lo:
+                                x, m = dpmpp_scan(fn, x, dslice(dtbl, lo, hi),
+                                                  m_prev=m, return_carry=True)
+                        return x
                     return dpmpp_scan(eps, x, dtbl)
                 if cfg_itv is not None:
                     s_eff = len(tbl.timesteps)  # static (x0 mode truncates)

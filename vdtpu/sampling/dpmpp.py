@@ -33,7 +33,8 @@ import numpy as np
 
 from vdtpu.ops.schedules import DiffusionSchedule, make_ddim_timesteps
 
-__all__ = ["DPMppTables", "dpmpp_scan"]
+__all__ = ["DPMppTables", "dpmpp_scan", "dpmpp_scan_encreuse",
+           "slice_tables"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,7 +97,22 @@ class DPMppTables:
                 jnp.asarray(self.alpha_phi), jnp.asarray(self.w2))
 
 
-def dpmpp_scan(eps_fn, x_init, tables: DPMppTables):
+def slice_tables(tables: DPMppTables, a: int, b: int) -> DPMppTables:
+    """Rows [a, b) of the descending-ordered tables (static host slice).
+
+    All per-step coefficients were derived from the FULL grid at create()
+    time, so a slice keeps the global ladder's step ratios — including a
+    non-zero w2 at the segment head, which expects the previous segment's
+    x0 prediction to arrive via dpmpp_scan's m_prev carry."""
+    cut = lambda arr: arr[a:b]
+    return dataclasses.replace(
+        tables, timesteps=cut(tables.timesteps), alphas=cut(tables.alphas),
+        sigmas=cut(tables.sigmas), sigma_ratio=cut(tables.sigma_ratio),
+        alpha_phi=cut(tables.alpha_phi), w2=cut(tables.w2))
+
+
+def dpmpp_scan(eps_fn, x_init, tables: DPMppTables, m_prev=None,
+               return_carry: bool = False):
     """Run the full solver as one lax.scan.
 
     eps_fn: (x, t[B], step_index) -> eps — the same contract as ddim_scan,
@@ -108,6 +124,12 @@ def dpmpp_scan(eps_fn, x_init, tables: DPMppTables):
         x_+   = (sigma_{i+1}/sigma_i) x
                 - alpha_{i+1} (e^{-h_i} - 1) [m_i + (0.5/r_i)(m_i - m_{i-1})]
     with the previous prediction m_{i-1} carried through the scan.
+
+    m_prev / return_carry support segmented runs over slice_tables
+    pieces (the cfg_interval mode): the multistep history crosses the
+    segment boundary through the carry, so a segmented run with the same
+    eps_fn is bit-identical to one whole scan. m_prev=None (the global
+    first step) pairs with w2[0]=0, where the history term is inert.
     """
     ts, al, sg, ratio, aphi, w2 = tables.stacked()
     n = ts.shape[0]
@@ -125,5 +147,38 @@ def dpmpp_scan(eps_fn, x_init, tables: DPMppTables):
         return (x_next, m), None
 
     xs = (jnp.arange(n), ts, al, sg, ratio, aphi, w2)
-    (x, _), _ = jax.lax.scan(step, (x_init, jnp.zeros_like(x_init)), xs)
+    init = (x_init, jnp.zeros_like(x_init) if m_prev is None else m_prev)
+    (x, m), _ = jax.lax.scan(step, init, xs)
+    return (x, m) if return_carry else x
+
+
+def dpmpp_scan_encreuse(eps_fn, x_init, tables: DPMppTables, key_mask,
+                        cache_init):
+    """dpmpp_scan with an encoder-feature cache threaded through the carry.
+
+    Composition of the two approximate serving levers (both opt-in): the
+    few-step solver supplies the short ladder; on steps where key_mask is
+    False, eps_fn reuses the cached UNet encoder state and only the
+    decoder runs (Faster Diffusion, arXiv 2312.09608 — same stateful
+    contract as ddim_scan_encreuse: (x, t[B], use_cache, cache) ->
+    (eps, cache))."""
+    ts, al, sg, ratio, aphi, w2 = tables.stacked()
+    n = ts.shape[0]
+    bsz = x_init.shape[0]
+
+    def step(carry, inp):
+        x, m_prev, cache = carry
+        i, t, a, s, rt, ap, w, is_key = inp
+        t_b = jnp.full((bsz,), t, jnp.int32)
+        eps, cache = eps_fn(x, t_b, jnp.logical_not(is_key), cache)
+        cast = lambda v: v.reshape(()).astype(x.dtype)
+        a, s, rt, ap, w = cast(a), cast(s), cast(rt), cast(ap), cast(w)
+        m = (x - s * eps) / a
+        x_next = rt * x - ap * (m + w * (m - m_prev))
+        return (x_next, m, cache), None
+
+    xs = (jnp.arange(n), ts, al, sg, ratio, aphi, w2,
+          jnp.asarray(np.asarray(key_mask, bool)))
+    (x, _, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), cache_init), xs)
     return x
