@@ -113,12 +113,20 @@ class MultiDiffuser(nn.Module):
         """
         emb = self._emb(timesteps, x.dtype, x_type)
         host = self.unets[x_type]
+        h, _ = self._mc_run_tokens(
+            host.program.layer_order, x, [], emb, contexts, ratios, host,
+            c_types, mixing_type, layer_choices)
+        return h
+
+    def _mc_run_tokens(self, tokens, h, hs, emb, contexts, ratios, host,
+                       c_types, mixing_type, layer_choices, di=0, ci=0):
+        """Token walk with context mixing at every 'c' slot (the multicontext
+        analogue of UNetBase._run_tokens, so the walk can be split at the
+        encoder boundary for the encoder-reuse serving mode)."""
         r = jnp.asarray(ratios, dtype=jnp.float32)
         r = r / jnp.sum(r)
-
-        hs, di, ci = [], 0, 0
-        h = x
-        for token in host.program.layer_order:
+        hs = list(hs)
+        for token in tokens:
             if token == "d":
                 h = host.run_data(di, h, emb)
                 di += 1
@@ -149,7 +157,47 @@ class MultiDiffuser(nn.Module):
                 hs.append(h)
             elif token == "load":
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-        return h
+        return h, hs
+
+    def apply_flow_multicontext_encoder(
+            self, x, timesteps, contexts, ratios, x_type: str,
+            c_types: Sequence[str], mixing_type: str = "attention",
+            layer_choices=None):
+        """Encoder half of the multicontext walk (cache for encoder reuse)."""
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+        h, hs = self._mc_run_tokens(
+            host.program.i_order, x, [], emb, contexts, ratios, host,
+            c_types, mixing_type, layer_choices)
+        return h, tuple(hs)
+
+    def apply_flow_multicontext_encreuse(
+            self, x, timesteps, contexts, ratios, x_type: str,
+            c_types: Sequence[str], cache, use_cache,
+            mixing_type: str = "attention", layer_choices=None):
+        """Multicontext walk with encoder-feature reuse — the same
+        Faster-Diffusion contract as apply_flow_encreuse, mixing included
+        in both halves. Returns (eps, cache)."""
+        emb = self._emb(timesteps, x.dtype, x_type)
+        host = self.unets[x_type]
+
+        def compute(x, emb, contexts, cache):
+            h, hs = self._mc_run_tokens(
+                host.program.i_order, x, [], emb, contexts, ratios, host,
+                c_types, mixing_type, layer_choices)
+            return (h, tuple(hs))
+
+        def reuse(x, emb, contexts, cache):
+            return cache
+
+        cache = jax.lax.cond(use_cache, reuse, compute, x, emb, contexts, cache)
+        h, hs = cache
+        di, ci = host._encoder_counts()
+        h, _ = self._mc_run_tokens(
+            host.program.m_order + host.program.o_order, h, list(hs), emb,
+            contexts, ratios, host, c_types, mixing_type, layer_choices,
+            di=di, ci=ci)
+        return h, cache
 
     def __call__(self, inputs: Mapping[str, Any], timesteps):
         """Init-only path: walks every diffuser standalone so all params
@@ -297,6 +345,27 @@ class VDModel:
             self._variables(params), x, timesteps, contexts,
             ratios, x_type, c_types, mixing_type, layer_choices,
             method=MultiDiffuser.apply_flow_multicontext)
+
+    def apply_model_multicontext_encoder(
+            self, params, x, timesteps, contexts, ratios, x_type: str,
+            c_types: Sequence[str], mixing_type: str = "attention",
+            layer_choices=None):
+        """Encoder-half multicontext apply (encoder-reuse cache shapes)."""
+        return self.diffuser.apply(
+            self._variables(params), x, timesteps, contexts,
+            ratios, x_type, c_types, mixing_type, layer_choices,
+            method=MultiDiffuser.apply_flow_multicontext_encoder)
+
+    def apply_model_multicontext_encreuse(
+            self, params, x, timesteps, contexts, ratios, x_type: str,
+            c_types: Sequence[str], cache, use_cache,
+            mixing_type: str = "attention", layer_choices=None):
+        """Multicontext apply with encoder-feature reuse ((eps, cache))."""
+        return self.diffuser.apply(
+            self._variables(params), x, timesteps, contexts,
+            ratios, x_type, c_types, cache, use_cache, mixing_type,
+            layer_choices,
+            method=MultiDiffuser.apply_flow_multicontext_encreuse)
 
     def num_context_slots(self, x_type: str = "image") -> int:
         """Context-layer slot count of a diffuser's program."""

@@ -237,6 +237,32 @@ def cfg_eps_fn_multicontext(apply_multi: Callable, c_infos: Sequence[Mapping[str
     return eps
 
 
+def cfg_eps_fn_multicontext_stateful(
+        apply_multi: Callable, c_infos: Sequence[Mapping[str, Any]],
+        scale: float) -> Callable:
+    """cfg_eps_fn_multicontext for stateful (encoder-reuse) applies:
+    apply_multi(x2, t2, ctxs, use_cache, cache) -> (eps2, cache)."""
+    if scale == 1.0:
+        ctxs = [ci["conditioning"] for ci in c_infos]
+
+        def eps_nocfg(x, t, use_cache, cache):
+            return apply_multi(x, t, ctxs, use_cache, cache)
+        return eps_nocfg
+
+    ctxs = [jnp.concatenate([ci["unconditional_conditioning"],
+                             ci["conditioning"]], axis=0)
+            for ci in c_infos]
+
+    def eps(x, t, use_cache, cache):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        e, cache = apply_multi(x_in, t_in, ctxs, use_cache, cache)
+        e_u, e_c = jnp.split(e, 2, axis=0)
+        return e_u + scale * (e_c - e_u), cache
+
+    return eps
+
+
 class DDIMSampler:
     """API-level sampler bound to a VDModel (mirrors ref DDIMSampler surface)."""
 
@@ -466,9 +492,12 @@ class DDIMSampler:
                             eta=0.0, temperature=1.0, noise_dropout=0.0,
                             mixing_type="attention", layer_choices=None,
                             return_intermediates=False, dtype=jnp.float32,
-                            method="ddim"):
-        """Multi-context sampling (ref ddim.py:173-242). `method` as in
-        sample(): "ddim" or the deterministic "dpmpp2m"."""
+                            method="ddim", encoder_reuse=None,
+                            cfg_interval=None):
+        """Multi-context sampling (ref ddim.py:173-242). `method`,
+        `encoder_reuse` and `cfg_interval` as in sample() — the opt-in
+        approximate modes apply to the blend flows (dcg/tcg/mcg) with the
+        same composition rules (cfg_interval excludes encoder_reuse)."""
         if method not in ("ddim", "dpmpp2m"):
             raise ValueError(f"unknown sampling method {method!r}")
         if method == "dpmpp2m" and (float(eta) != 0.0 or return_intermediates):
@@ -487,10 +516,31 @@ class DDIMSampler:
         k = int(x_info.get("x0_forward_timesteps", 0)) if mode == "x0" else 0
         shape = tuple(int(s) for s in shape)
         ctx_shapes = tuple(tuple(np.shape(ci["conditioning"])) for ci in c_info_list)
+        enc_spec = None
+        if encoder_reuse:
+            enc_spec = dict(encoder_reuse) if isinstance(encoder_reuse, Mapping) \
+                else {"interval": int(encoder_reuse)}
+            if return_intermediates:
+                raise ValueError("encoder_reuse is incompatible with "
+                                 "return_intermediates")
+        cfg_itv = None
+        if cfg_interval is not None:
+            cfg_itv = (float(cfg_interval[0]), float(cfg_interval[1]))
+            if not (0.0 <= cfg_itv[0] <= cfg_itv[1] <= 1.0):
+                raise ValueError("cfg_interval must satisfy 0 <= lo <= hi <= 1")
+            if scale == 1.0:
+                raise ValueError("cfg_interval requires active CFG "
+                                 "(scale != 1)")
+            if enc_spec is not None or return_intermediates:
+                raise ValueError("cfg_interval composes with ddim or dpmpp2m "
+                                 "only (no encoder_reuse / "
+                                 "return_intermediates)")
         cache_key = ("multi", steps, float(eta), shape, x_type, c_types, scale,
                      ratios, mode, k, float(temperature), float(noise_dropout),
                      mixing_type, layer_choices is None,
-                     bool(return_intermediates), ctx_shapes, str(dtype), method)
+                     bool(return_intermediates), ctx_shapes, str(dtype), method,
+                     None if enc_spec is None else tuple(sorted(enc_spec.items())),
+                     cfg_itv)
 
         def build():
             tables = DDIMTables.create(self.model.schedule, steps, eta)
@@ -514,13 +564,75 @@ class DDIMSampler:
                 c_infos = [
                     {"conditioning": c, "unconditional_conditioning": u}
                     for c, u in zip(conds, unconds)]
+                if enc_spec is not None:
+                    cfg_on = scale != 1.0
+                    bsz_eff = shape[0] * (2 if cfg_on else 1)
+                    mask = encoder_reuse_schedule(len(tbl.timesteps), **enc_spec)
+                    cache_shapes = jax.eval_shape(
+                        lambda p: self.model.apply_model_multicontext_encoder(
+                            p, jnp.zeros((bsz_eff,) + shape[1:], dtype),
+                            jnp.zeros((bsz_eff,), jnp.int32),
+                            [jnp.zeros((bsz_eff,) + cs[1:], dtype)
+                             for cs in ctx_shapes],
+                            list(ratios), x_type, list(c_types),
+                            mixing_type=mixing_type, layer_choices=choices),
+                        params)
+                    cache0 = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+                    eps = cfg_eps_fn_multicontext_stateful(
+                        lambda xx, tt, ctxs, uc, cache:
+                            self.model.apply_model_multicontext_encreuse(
+                                params, xx, tt, ctxs, list(ratios), x_type,
+                                list(c_types), cache, uc,
+                                mixing_type=mixing_type,
+                                layer_choices=choices),
+                        c_infos, scale)
+                    if method == "dpmpp2m":
+                        from vdtpu.sampling.dpmpp import (
+                            DPMppTables, dpmpp_scan_encreuse)
+                        dtbl = DPMppTables.create(
+                            self.model.schedule, steps,
+                            truncate=k if mode == "x0" else None)
+                        return dpmpp_scan_encreuse(eps, x, dtbl, mask, cache0)
+                    return ddim_scan_encreuse(eps, x, key, tbl, mask, cache0,
+                                              temperature, noise_dropout)
                 eps = cfg_eps_fn_multicontext(apply_multi, c_infos, scale)
                 if method == "dpmpp2m":
                     from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan
+                    from vdtpu.sampling.dpmpp import slice_tables as dslice
                     dtbl = DPMppTables.create(
                         self.model.schedule, steps,
                         truncate=k if mode == "x0" else None)
+                    if cfg_itv is not None:
+                        s_eff = len(dtbl.timesteps)
+                        a = int(round(cfg_itv[0] * s_eff))
+                        b = int(round(cfg_itv[1] * s_eff))
+                        eps_c = cfg_eps_fn_multicontext(apply_multi, [
+                            {"conditioning": ci["conditioning"]}
+                            for ci in c_infos], 1.0)
+                        m = None
+                        for lo, hi, fn in ((0, a, eps_c), (a, b, eps),
+                                           (b, s_eff, eps_c)):
+                            if hi > lo:
+                                x, m = dpmpp_scan(fn, x, dslice(dtbl, lo, hi),
+                                                  m_prev=m, return_carry=True)
+                        return x
                     return dpmpp_scan(eps, x, dtbl)
+                if cfg_itv is not None:
+                    s_eff = len(tbl.timesteps)
+                    a = int(round(cfg_itv[0] * s_eff))
+                    b = int(round(cfg_itv[1] * s_eff))
+                    eps_c = cfg_eps_fn_multicontext(apply_multi, [
+                        {"conditioning": ci["conditioning"]}
+                        for ci in c_infos], 1.0)
+                    for lo, hi, fn in ((0, a, eps_c), (a, b, eps),
+                                       (b, s_eff, eps_c)):
+                        if hi > lo:
+                            x, key = ddim_scan(
+                                fn, x, key, slice_tables(tbl, lo, hi),
+                                temperature, noise_dropout,
+                                return_final_key=True)
+                    return x
                 return ddim_scan(eps, x, key, tbl, temperature, noise_dropout,
                                  return_intermediates)
             return run

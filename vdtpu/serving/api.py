@@ -308,7 +308,8 @@ class VDInference:
         return self.sys.sampler.sample_multicontext(
             self.sys.params["diffuser"], key, self.ddim_steps, shape,
             x_info, c_info_list, eta=self.ddim_eta, dtype=self.sys.dtype,
-            method=self.sampler)
+            encoder_reuse=self.encoder_reuse, method=self.sampler,
+            cfg_interval=self.cfg_interval)
 
     def _decode_texts(self, x, key) -> list[str]:
         txts = self.sys.vae_decode(x, "text", temperature=self.text_temperature,
