@@ -39,6 +39,26 @@ def test_batched_equals_solo(vdi):
     assert np.abs(packed[0] - packed[1]).max() > 1e-4
 
 
+def test_batched_equals_solo_dpmpp(vdi):
+    """Batch-composition independence holds under the few-step solver too:
+    dpmpp2m is fully deterministic (no per-step noise draws), so the queue
+    accepts it and padded-batch results match batch-of-1 results."""
+    vdi.sampler = "dpmpp2m"
+    try:
+        reqs = [("a red cat", 0), ("a blue dog", 1)]
+        solo = {}
+        with BatchingQueue(vdi, buckets=(1,), max_wait_ms=1.0) as q:
+            for text, seed in reqs:
+                solo[(text, seed)] = q.submit(text, seed).result(timeout=600)
+        with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+            futs = [q.submit(t, s) for t, s in reqs]
+            packed = [f.result(timeout=600) for f in futs]
+        for (text, seed), img in zip(reqs, packed):
+            np.testing.assert_allclose(img, solo[(text, seed)], atol=1e-5)
+    finally:
+        vdi.sampler = "ddim"
+
+
 def test_same_seed_same_text_identical(vdi):
     with BatchingQueue(vdi, buckets=(2,), max_wait_ms=250.0) as q:
         a = q.submit("twin", 7)

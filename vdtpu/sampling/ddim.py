@@ -307,13 +307,17 @@ class DDIMSampler:
         VERDICT r1 item 9)."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
+        from vdtpu.ops.quant import get_policy
+        # the active quant policy is read at TRACE time by the conv/dense
+        # sites, so it must be part of the cache identity: a process that
+        # warms a flow in bf16 and then calls VDSystem.enable_int8() must
+        # re-trace, not silently reuse the bf16 executable
+        cache_key = (cache_key, get_policy())
         fn = self._jit_cache.get(cache_key)
         if fn is None:
             from vdtpu.serving.aot import CachedCompile, cache_dir
             if cache_dir() is not None:
-                from vdtpu.ops.quant import get_policy
-                fn = CachedCompile(build(),
-                                   key=f"{cache_key!r}|{get_policy()}")
+                fn = CachedCompile(build(), key=f"{cache_key!r}")
             else:
                 fn = jax.jit(build())
             self._jit_cache[cache_key] = fn

@@ -108,6 +108,66 @@ class VDSystem:
             lambda a: a.astype(dtype) if hasattr(a, "astype") else a, self.params)
         return self
 
+    def enable_int8(self, image_size: int = 512, latent_downsample: int = 8,
+                    n: int = 2, timesteps=(0, 250, 500, 750, 999),
+                    seed: int = 0,
+                    flows=(("image", "text"), ("image", "image"),
+                           ("text", "image"), ("text", "text"))):
+        """Switch the diffusers to the calibrated-int8 serving policy (the
+        bench.py headline path: +41% at batch 8, quality table in PERF.md)
+        through the production API.
+
+        Sets the process-wide quant policy (read at trace time by every
+        subsequent sampler jit), runs the activation-scale calibration pass
+        over (noise, t, context) probes spanning the timestep range for
+        each requested flow, and re-packs params["diffuser"] as
+        {"params", "quant"} so the scales thread into the jits as arguments
+        (VDModel._variables). Calibration contexts come from this system's
+        own context encoders on random inputs; pass a trimmed `flows` tuple
+        to calibrate a subset (scales merge by max across flows). Params
+        must be loaded/initialized first.
+        """
+        from vdtpu.ops import quant
+        if self.params["diffuser"] is None:
+            raise RuntimeError("load or init params before enable_int8()")
+        if isinstance(self.params["diffuser"], dict) \
+                and "quant" in self.params["diffuser"]:
+            return self  # already calibrated
+        quant.set_policy("int8")
+        key = jax.random.PRNGKey(seed)
+        ctxs = {}
+        for c_type in {c for _, c in flows}:
+            enc = self.ctx[c_type]
+            if c_type == "text":
+                vocab = getattr(enc, "vocab_size", 49408)
+                ids = jax.random.randint(key, (2 * n, enc.max_len), 0, vocab)
+                ctxs["text"] = self.ctx_encode(ids, "text").astype(self.dtype)
+            else:
+                sz = enc.image_size
+                px = jax.random.uniform(key, (2 * n, sz, sz, 3))
+                ctxs["image"] = self.ctx_encode(px, "image").astype(self.dtype)
+        d_cfgs = dict(self.model.diffuser.diffuser_cfgs)
+        probes = []
+        for x_type, c_type in flows:
+            a = d_cfgs[x_type]["args"]
+            if "in_channels" in a:  # 2-D flow: latent image
+                s = image_size // latent_downsample
+                shape = (2 * n, s, s, a["in_channels"])
+            else:  # 0-D flow: latent vector
+                shape = (2 * n, a["input_channels"])
+            for i, tt in enumerate(timesteps):
+                probes.append((
+                    jax.random.normal(jax.random.fold_in(key, 7000 + i),
+                                      shape, self.dtype),
+                    jnp.full((2 * n,), tt, jnp.int32),
+                    ctxs[c_type], x_type, c_type))
+        from vdtpu.ops.quant import calibrate
+        scales = calibrate(self.model, self.params["diffuser"], probes)
+        self.model.quant_scales = None  # thread as a jit argument instead
+        self.params["diffuser"] = {"params": self.params["diffuser"],
+                                   "quant": scales}
+        return self
+
     # ---- CLIP feature helpers (evaluator plumbing: CLIP-sim / CLIP-FID) ----
 
     def clip_image_features(self, images) -> jnp.ndarray:

@@ -51,6 +51,11 @@ def build_inference(args):
             sd = sd["state_dict"]
         missing = sysm.load_torch_checkpoint(sd)
         print(f"loaded checkpoint; {len(missing)} unmatched params")
+    if args.int8:
+        # calibrated int8 serving policy (the bench headline path; quality
+        # table in PERF.md "Approximate-mode quality")
+        sysm.enable_int8(image_size=args.size,
+                         latent_downsample=args.latent_downsample)
     tokenizer = None
     if args.clip_vocab and args.clip_merges:
         import functools
@@ -112,6 +117,9 @@ def main(argv=None):
                    help="opt-in approximate mode: trajectory fractions "
                         "where CFG is active (e.g. 0.0,0.7); outside them "
                         "the UNet runs at half batch")
+    p.add_argument("--int8", action="store_true",
+                   help="calibrated int8 diffuser (the bench headline "
+                        "serving policy; +41%% at batch 8, PERF.md)")
     args = p.parse_args(argv)
 
     vdi = build_inference(args)
