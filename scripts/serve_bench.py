@@ -1,0 +1,167 @@
+"""Production-serving load test: BatchingQueue on the full-size system.
+
+Drives the REAL serving stack end-to-end on the chip — VDSystem +
+enable_int8 (the headline policy) + VDInference + BatchingQueue — under
+Poisson request arrivals, and reports per-arrival-rate throughput and
+p50/p95 request latency. This is the serving story the reference's
+Gradio app (app.py:244-298, one request at a time) has no counterpart
+for: concurrent requests coalesce into padded CFG-batched sampler calls
+(buckets), with deadline_ms bounding the coalescing wait.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_bench.py \
+        [--rates 0.5,1.0,1.5] [--seconds 60] [--buckets 2,8] [--steps 50]
+Prints one JSON line per rate.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import threading
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_tokenizer(vocab: int, max_length: int):
+    """Deterministic stand-in tokenizer (no vocab files in this
+    environment): stable per-text pseudo-ids, eot-padded like CLIP.
+    Geometry comes from the system's own text tower — out-of-range ids
+    NaN-fill tiny towers through jnp.take (scripts/_common lesson)."""
+    import numpy as np
+
+    def tok(texts):
+        out = np.full((len(texts), max_length), vocab - 1, np.int64)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(hashlib.sha1(t.encode()).digest()[:4], "big")
+            rs = np.random.RandomState(seed)
+            n = 1 + (seed % (max_length - 2))
+            out[i, 0] = vocab - 2
+            out[i, 1:1 + n] = rs.randint(0, max(vocab - 2, 1), size=n)
+        return out
+    return tok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", default="0.5,1.0,1.5",
+                    help="Poisson arrival rates (requests/s) to sweep")
+    ap.add_argument("--seconds", type=float, default=60.0,
+                    help="load duration per rate")
+    ap.add_argument("--buckets", default="2,8")
+    ap.add_argument("--deadline-ms", type=float, default=1000.0)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--policy", default="int8", choices=["int8", "none"])
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--config", default="vd_four_flow_v1-0")
+    ap.add_argument("--latent-downsample", type=int, default=8)
+    ap.add_argument("--image-latent-dim", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from vdtpu.serving.api import VDInference, VDSystem
+    from vdtpu.serving.queue import BatchingQueue
+
+    dtype = jnp.bfloat16
+    t0 = time.perf_counter()
+    sysm = VDSystem(args.config, dtype=dtype, with_text_vae=False)
+
+    # fast param fill (bench.py methodology: eval_shape + per-leaf fill —
+    # full flax init compiles for minutes through the tunnel; serving
+    # timing is weight-value independent)
+    def fill(shapes, key):
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        return treedef.unflatten([
+            jax.random.normal(jax.random.fold_in(key, i), l.shape, dtype) * 0.02
+            for i, l in enumerate(leaves)])
+
+    key = jax.random.PRNGKey(0)
+    sysm.params["diffuser"] = fill(
+        jax.eval_shape(lambda k: sysm.model.init_params(k, jit=False),
+                       key), key)
+    sysm.params["vae"]["image"] = fill(jax.eval_shape(
+        lambda k: sysm.vae["image"].init(k, jnp.zeros((1, 64, 64, 3)))["params"],
+        key), jax.random.fold_in(key, 1))
+    sysm.params["ctx"]["text"] = fill(jax.eval_shape(
+        lambda k: sysm.ctx["text"].init(
+            k, jnp.zeros((1, sysm.ctx["text"].max_len), jnp.int32))["params"],
+        key), jax.random.fold_in(key, 2))
+    jax.block_until_ready(sysm.params["diffuser"])
+    log(f"params {time.perf_counter() - t0:.1f}s")
+
+    if args.policy == "int8":
+        t0 = time.perf_counter()
+        sysm.enable_int8(image_size=args.size,
+                         latent_downsample=args.latent_downsample,
+                         flows=(("image", "text"),))
+        log(f"int8 calibration {time.perf_counter() - t0:.1f}s")
+
+    enc = sysm.ctx["text"]
+    inf = VDInference(sysm,
+                      text_tokenizer=make_tokenizer(enc.vocab_size,
+                                                    enc.max_len),
+                      output_dim=(args.size, args.size),
+                      ddim_steps=args.steps, n_sample_image=1,
+                      image_latent_dim=args.image_latent_dim,
+                      latent_downsample=args.latent_downsample)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+
+    # ---- warm-up: compile every bucket executable once ----
+    t0 = time.perf_counter()
+    with BatchingQueue(inf, buckets=buckets, max_wait_ms=5.0) as q:
+        for b in buckets:
+            futs = [q.submit(f"warm {b} {i}", i) for i in range(b)]
+            for f in futs:
+                f.result(timeout=3600)
+            log(f"bucket {b} warm {time.perf_counter() - t0:.1f}s")
+
+    prompts = [f"a photo of scene number {i}" for i in range(512)]
+
+    for rate in (float(r) for r in args.rates.split(",")):
+        lat, done_t = [], []
+        stop_at = time.monotonic() + args.seconds
+        rs = np.random.RandomState(42)
+        with BatchingQueue(inf, buckets=buckets, max_wait_ms=25.0,
+                           deadline_ms=args.deadline_ms) as q:
+            pending = []
+            i = 0
+            while time.monotonic() < stop_at:
+                t_sub = time.monotonic()
+                fut = q.submit(prompts[i % len(prompts)], i)
+                pending.append((t_sub, fut))
+                i += 1
+                # drain completions opportunistically
+                while pending and pending[0][1].done():
+                    ts, f = pending.pop(0)
+                    f.result()
+                    now = time.monotonic()
+                    lat.append(now - ts)
+                    done_t.append(now)
+                time.sleep(rs.exponential(1.0 / rate))
+            for ts, f in pending:
+                f.result(timeout=3600)
+                now = time.monotonic()
+                lat.append(now - ts)
+                done_t.append(now)
+        lat_s = sorted(lat)
+        span = (max(done_t) - min(done_t)) if len(done_t) > 1 else 1.0
+        print(json.dumps({
+            "rate_rps": rate, "requests": len(lat),
+            "throughput_rps": round((len(lat) - 1) / span, 3),
+            "p50_s": round(lat_s[len(lat_s) // 2], 3),
+            "p95_s": round(lat_s[int(len(lat_s) * 0.95)], 3),
+            "max_s": round(lat_s[-1], 3),
+            "policy": args.policy, "buckets": list(buckets),
+            "deadline_ms": args.deadline_ms, "steps": args.steps,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
