@@ -20,6 +20,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_quality.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -206,6 +207,39 @@ def main():
     variants["int8+dpmpp20"] = (
         x_d, np.asarray(decode(jnp.asarray(x_d)), np.float32))
     log(f"dpmpp20 {time.perf_counter() - t0:.1f}s")
+
+    # composed fast mode: few-step solver + encoder reuse (the two levers
+    # multiply; gate VDTPU_QUALITY_COMPOSED=0 to skip — the lax.cond-in-
+    # dpmpp-scan executable is the slowest compile in the repo)
+    if os.environ.get("VDTPU_QUALITY_COMPOSED", "1") != "0":
+        from vdtpu.sampling.dpmpp import DPMppTables, dpmpp_scan_encreuse
+
+        def run_dpmpp_encreuse(model, p, s, interval):
+            dtbl = DPMppTables.create(model.schedule, s)
+            mask = encoder_reuse_schedule(s, interval=interval, warmup=5)
+
+            @jax.jit
+            def f(p, cond, uncond, key):
+                cache_shapes = jax.eval_shape(
+                    lambda pp: model.apply_model_encoder(
+                        pp, jnp.zeros((2 * n, 64, 64, 4), dtype),
+                        jnp.zeros((2 * n,), jnp.int32),
+                        jnp.zeros((2 * n, 77, 768), dtype), "image", "text"), p)
+                cache0 = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), cache_shapes)
+                eps = cfg_eps_fn_stateful(
+                    lambda xx, tt, cc, uc, cache: model.apply_model_encreuse(
+                        p, xx, tt, cc, "image", "text", cache, uc),
+                    cond, uncond, 7.5)
+                x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+                return dpmpp_scan_encreuse(eps, x, dtbl, mask, cache0)
+            return np.asarray(f(p, cond, uncond, skey), np.float32)
+
+        t0 = time.perf_counter()
+        x_de = run_dpmpp_encreuse(model_q, pq, 20, 2)
+        variants["int8+dpmpp20+encreuse2"] = (
+            x_de, np.asarray(decode(jnp.asarray(x_de)), np.float32))
+        log(f"dpmpp20+encreuse2 {time.perf_counter() - t0:.1f}s")
 
     def cos(a, b):
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
