@@ -48,6 +48,7 @@ def launch_env(tmp_path, monkeypatch):
                   "ema_decay": 0.999, "log_every": 1, "ckpt_every": 2},
         "eval": {"ddim_steps": 2, "scale": 7.5, "latent_size": 32,
                  "latent_dim": 4, "evaluator": "clip_similarity",
+                 "sampler": "dpmpp2m",  # eval-throughput knob (launch.py)
                  "max_batches": 1, "seed": 0},
     }
     cfg_path = tmp_path / "exp.yaml"

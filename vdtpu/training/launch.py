@@ -87,6 +87,10 @@ def run_eval(ecfg, system, exp, args):
     latent = vcfg.get("latent_size", 64)
     latent_dim = vcfg.get("latent_dim", 4)
     ev_name = vcfg.get("evaluator", "clip_similarity")
+    # eval-throughput knob: `sampler: dpmpp2m` + `ddim_steps: 20` runs the
+    # few-step solver (sampling/dpmpp.py) — DDIM-50-class sample quality at
+    # ~2.4x the eval generation rate (matched-quality point, PERF.md)
+    method = vcfg.get("sampler", "ddim")
     key = jax.random.PRNGKey(vcfg.get("seed", 0))
     uncond_1 = system.ctx_encode(tokenizer([""]), "text")
 
@@ -102,7 +106,7 @@ def run_eval(ecfg, system, exp, args):
             {"type": "text", "conditioning": c,
              "unconditional_conditioning": u,
              "unconditional_guidance_scale": scale},
-            dtype=system.dtype)
+            dtype=system.dtype, method=method)
         imgs = system.vae_decode(x, "image")
         # CLIP-sim pairs generations with their prompts; FID with the reals
         return (imgs, ids) if ev_name == "clip_similarity" \
