@@ -119,3 +119,28 @@ def test_sharded_sampler_equivalence():
         out = sampler.sample(params_m, key, 3, (8, 8, 8, 4),
                              {"type": "image"}, ci)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_vdinference_mesh_matches_single_device():
+    """The PRODUCTION serving class under a dp mesh (`VDInference(mesh=...)`)
+    returns the same images as single-device serving: params dp-replicated,
+    conditioning batch-sharded by _shard_batch, the whole 4-step CFG scan
+    partitioned by SPMD (PERF.md scale-out row)."""
+    from _tiny import det_tokenizer
+    from vdtpu.serving.api import VDInference, VDSystem
+
+    sysm = VDSystem("vd_test_tiny").init_random(0, image_size=64)
+    kw = dict(text_tokenizer=det_tokenizer, output_dim=(64, 64),
+              ddim_steps=4, n_sample_image=2, image_latent_dim=4,
+              text_latent_dim=96, latent_downsample=2)
+    ref = VDInference(sysm, **kw).inference_t2i("a red cat", seed=0)
+
+    mesh = make_mesh(2, tp=1)
+    sysm.params["diffuser"] = shard_params(mesh, sysm.params["diffuser"])
+    vdi_m = VDInference(sysm, mesh=mesh, **kw)
+    # _shard_batch really places conditioning over the dp axis
+    sharded = vdi_m._shard_batch({"conditioning": jnp.zeros((2, 5, 128)),
+                                  "unconditional_conditioning": None})
+    assert len(sharded["conditioning"].sharding.device_set) == 2
+    out = vdi_m.inference_t2i("a red cat", seed=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
