@@ -126,3 +126,61 @@ def test_close_drains_pending(vdi):
     assert f.result(timeout=600).shape[-1] == 3
     with pytest.raises(RuntimeError):
         q.submit("too late", 4)
+
+
+def test_composition_independence_int8():
+    """The calibrated-int8 path's composition guarantee, precisely:
+
+    1. At a FIXED bucket size, a request's image is BIT-identical no matter
+       which co-riders (or padding) share its batch — activation scales are
+       static post-calibration, so every s8 row stays per-sample. This is
+       the production claim: the queue pads to fixed buckets.
+    2. Across DIFFERENT bucket sizes the guarantee is only near-exact:
+       different batch shapes compile to different XLA reduction orders,
+       and an ulp-level activation difference at a quantize boundary flips
+       a whole int8 level (~1/127), compounding over the scan. The bf16/f32
+       path is composition-independent across buckets to 1e-5
+       (test_batched_equals_solo); int8 is quality-equivalent, not
+       bit-equal. Measured delta here is ~5e-3 in [0,1] pixel space.
+
+    Own system + policy reset — enable_int8 flips a process-wide policy
+    the other tests must not see."""
+    import jax
+    import jax.numpy as jnp
+
+    from _tiny import make_tiny_vdi
+    from vdtpu.ops import quant
+
+    vdi = make_tiny_vdi()
+    # random-fill the zero-init output convs (a fresh-init UNet outputs
+    # identically zero, which would make the comparison vacuous)
+    p = vdi.sys.params["diffuser"]
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    key = jax.random.PRNGKey(7)
+    vdi.sys.params["diffuser"] = treedef.unflatten([
+        jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype) * 0.02
+        if float(jnp.abs(l).max()) == 0.0 else l
+        for i, l in enumerate(leaves)])
+    vdi.sys.enable_int8(image_size=64, latent_downsample=2,
+                        flows=(("image", "text"),))
+    try:
+        # 1. fixed bucket, different co-riders: bit-identical
+        with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+            a1 = q.submit("a red cat", 0)
+            _ = [q.submit(t, s) for t, s in
+                 [("a blue dog", 1), ("a green bird", 2)]]
+            a1 = a1.result(timeout=600)
+        with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+            a2 = q.submit("a red cat", 0)
+            _ = [q.submit(t, s) for t, s in
+                 [("purple mountains", 5), ("an empty room", 6)]]
+            a2 = a2.result(timeout=600)
+        np.testing.assert_array_equal(a1, a2)
+
+        # 2. across bucket sizes: quality-equivalent, not bit-equal
+        with BatchingQueue(vdi, buckets=(1,), max_wait_ms=1.0) as q:
+            solo = q.submit("a red cat", 0).result(timeout=600)
+        delta = np.abs(np.asarray(a1) - np.asarray(solo)).max()
+        assert delta < 0.05, f"cross-bucket int8 delta too large: {delta}"
+    finally:
+        quant.set_policy(None)

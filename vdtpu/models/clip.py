@@ -17,6 +17,7 @@ weights convert with the standard converter. Frozen (no training path).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -25,8 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdtpu.config.registry import register
-from vdtpu.models.layers import Dtype, dense
+from vdtpu.models.layers import Dtype
+from vdtpu.models.layers import dense as _dense
 from vdtpu.ops.attention import scaled_dot_product_attention
+
+# The int8 serving policy scopes to the DIFFUSERS: calibration
+# (serving/api.py enable_int8) covers only their call sites, so a CLIP
+# tower traced under the process-wide policy would fall back to dynamic
+# per-batch-tensor absmax — making a request's conditioning depend on
+# which co-rider texts share its encode batch (test_serving_queue.py::
+# test_composition_independence_int8 caught this). Context towers always
+# run in the compute dtype, like the VAE (autoencoder.py quant=False).
+dense = functools.partial(_dense, quant=False)
 
 
 def quick_gelu(x):

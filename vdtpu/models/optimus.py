@@ -22,6 +22,7 @@ mechanically (GPT-2 Conv1D kernels are pre-transposed by `load_torch`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Mapping, Sequence
 
 import flax.linen as nn
@@ -30,8 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdtpu.config.registry import register
-from vdtpu.models.layers import Dtype, dense
+from vdtpu.models.layers import Dtype
+from vdtpu.models.layers import dense as _dense
 from vdtpu.ops.attention import scaled_dot_product_attention
+
+# Text-VAE towers are never quantized — the int8 serving policy scopes to
+# the diffusers (see the matching note in clip.py; uncalibrated sites
+# would fall back to batch-dynamic absmax quantization).
+dense = functools.partial(_dense, quant=False)
 
 # GPT-2 vocab with Optimus' added specials (ref optimus.py:30-34):
 # base 50257 + <PAD>=50257, <BOS>=50258, <EOS>=50259.

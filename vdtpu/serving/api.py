@@ -126,6 +126,13 @@ class VDSystem:
         own context encoders on random inputs; pass a trimmed `flows` tuple
         to calibrate a subset (scales merge by max across flows). Params
         must be loaded/initialized first.
+
+        Scope: only DIFFUSER call sites quantize — context encoders and
+        VAEs always run in the compute dtype (clip.py / optimus.py /
+        autoencoder.py bind quant=False). A flow excluded from `flows`
+        still runs its diffuser under int8 but with per-batch dynamic
+        activation scales: slower (extra absmax pass) and batch-composition
+        dependent — serve uncalibrated flows only for experiments.
         """
         from vdtpu.ops import quant
         if self.params["diffuser"] is None:

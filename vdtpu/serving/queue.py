@@ -20,9 +20,14 @@ CFG-batched sampler call:
 - Each request's initial latent x_T is drawn from its OWN PRNGKey(seed)
   and passed via the sampler's `x_info["xt"]` path. With eta=0 DDIM every
   batch row is computed independently (conv/GN/attention are all
-  per-sample; int8 activation scales are static post-calibration), so a
-  queued request returns the same image whether it ran alone or packed
-  with others — asserted by tests/test_serving_queue.py.
+  per-sample; int8 activation scales are static post-calibration), so at
+  a FIXED bucket size a request's image is bit-identical regardless of
+  which co-riders or padding share its batch. Across DIFFERENT bucket
+  sizes the bf16/f32 path matches to ~1e-5; the int8 path is
+  quality-equivalent but not bit-equal (different batch shapes compile
+  to different reduction orders, and ulp-level differences at a quantize
+  boundary flip whole s8 levels). Both asserted by
+  tests/test_serving_queue.py.
 
 All JAX work happens on the single worker thread; `submit` is thread-safe
 and returns a `concurrent.futures.Future` resolving to one [H,W,3] image.
