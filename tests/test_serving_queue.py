@@ -128,6 +128,39 @@ def test_close_drains_pending(vdi):
         q.submit("too late", 4)
 
 
+def test_multiflow_grouping_and_text_independence(vdi):
+    """One sweep may mix t2i/t2t/i2t — groups dispatch per flow; and the
+    text flows inherit the fixed-bucket composition guarantee (the GPT-2
+    decode runs per request at batch 1 with the request's own key, so a
+    co-rider can't perturb another request's sampled tokens)."""
+    im = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    with BatchingQueue(vdi, buckets=(1, 4), max_wait_ms=250.0) as q:
+        fi = q.submit("a red cat", 0)
+        ft = q.submit_t2t("some caption", 1)
+        fv = q.submit_i2t(im, 2)
+        img, t1, t2 = (fi.result(timeout=600), ft.result(timeout=600),
+                       fv.result(timeout=600))
+    assert img.shape == (64, 64, 3)
+    assert isinstance(t1, str) and isinstance(t2, str)
+
+    # t2t: same request, same bucket, different co-riders -> same string
+    def run_t2t(rider):
+        with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+            f = q.submit_t2t("some caption", 1)
+            _ = q.submit_t2t(rider, 7)
+            return f.result(timeout=600)
+    assert run_t2t("other words") == run_t2t("a different rider")
+
+    # i2t: likewise (also exercises the cached zeros-image uncond tile)
+    def run_i2t(rider_seed):
+        with BatchingQueue(vdi, buckets=(4,), max_wait_ms=250.0) as q:
+            f = q.submit_i2t(im, 2)
+            _ = q.submit_i2t(np.random.RandomState(rider_seed)
+                             .rand(1, 64, 64, 3).astype(np.float32), 11)
+            return f.result(timeout=600)
+    assert run_i2t(4) == run_i2t(5)
+
+
 def test_composition_independence_int8():
     """The calibrated-int8 path's composition guarantee, precisely:
 

@@ -31,6 +31,19 @@ CFG-batched sampler call:
 
 All JAX work happens on the single worker thread; `submit` is thread-safe
 and returns a `concurrent.futures.Future` resolving to one [H,W,3] image.
+
+Beyond t2i, the text-output flows batch too (`submit_t2t` / `submit_i2t`
+→ Future[str]): requests gathered in one sweep are grouped by flow and
+each group runs as its own padded bucket (flows can't share a diffuser
+batch — different latent spaces and context towers). The DDIM latents
+batch exactly like t2i; the Optimus GPT-2 decode then runs per request at
+batch 1 with the request's own key, because decode sampling draws
+batch-shaped noise — decoding rows together would make a request's text
+depend on its co-riders. The decode is a single ~30-token GPT-2 scan,
+negligible next to the 50-step UNet, and batch-1 keeps one compiled
+executable. i2i stays per-request (`VDInference.inference_i2i`): its
+fid_lvl changes the scan length, so coalescing would recompile per
+distinct level — the opposite of what the queue is for.
 """
 from __future__ import annotations
 
@@ -47,14 +60,17 @@ import numpy as np
 
 @dataclass
 class _Request:
-    text: str
+    text: str                 # prompt (t2i/t2t); unused for i2t
     seed: int
+    flow: str = "t2i"         # "t2i" | "t2t" | "i2t"
+    image: np.ndarray | None = None  # [1,H,W,3] float conditioning (i2t)
     future: Future = field(default_factory=Future)
     t_enq: float = field(default_factory=time.monotonic)
 
 
 class BatchingQueue:
-    """Batches concurrent `t2i` requests through one VDInference sampler call."""
+    """Batches concurrent t2i / t2t / i2t requests through shared
+    VDInference sampler calls, grouped per flow."""
 
     def __init__(self, inference, buckets=(1, 2, 4, 8), max_wait_ms: float = 20.0,
                  deadline_ms: float | None = None):
@@ -68,6 +84,7 @@ class BatchingQueue:
         self.deadline_s = None if deadline_ms is None else float(deadline_ms) / 1e3
         self._q: _queue.Queue[_Request | None] = _queue.Queue()
         self._uncond1 = None  # [1, 77, ctx] encoding of "", computed once
+        self._uncond_img1 = None  # [1, 257, ctx] zeros-image encoding (i2t)
         self._closed = False
         # serializes the closed-check+put pair against close(): without it a
         # submit could pass the check, lose the CPU, and enqueue behind the
@@ -79,7 +96,20 @@ class BatchingQueue:
     # ---- client side ----
 
     def submit(self, text: str, seed: int) -> Future:
-        r = _Request(text, int(seed))
+        """Text-to-image; Future resolves to one [H,W,3] image."""
+        return self._submit(_Request(text, int(seed)))
+
+    def submit_t2t(self, text: str, seed: int) -> Future:
+        """Text variation; Future resolves to one string."""
+        return self._submit(_Request(text, int(seed), flow="t2t"))
+
+    def submit_i2t(self, image, seed: int) -> Future:
+        """Image-to-text; `image` is [1,H,W,3] float in [0,1] (the
+        `inference_i2t` contract); Future resolves to one string."""
+        img = np.asarray(image, np.float32)
+        return self._submit(_Request("", int(seed), flow="i2t", image=img))
+
+    def _submit(self, r: _Request) -> Future:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("queue is closed")
@@ -141,12 +171,21 @@ class BatchingQueue:
             batch = self._gather()
             if batch is None:
                 return
-            try:
-                self._process(batch)
-            except Exception as e:  # noqa: BLE001 — fail the whole batch
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+            # one sweep may mix flows; each flow is its own bucket (they
+            # can't share a diffuser batch). Fixed processing order keeps
+            # the worker deterministic.
+            for flow, proc in (("t2i", self._process_t2i),
+                               ("t2t", self._process_text),
+                               ("i2t", self._process_text)):
+                group = [r for r in batch if r.flow == flow]
+                if not group:
+                    continue
+                try:
+                    proc(group)
+                except Exception as e:  # noqa: BLE001 — fail the whole group
+                    for r in group:
+                        if not r.future.done():
+                            r.future.set_exception(e)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -154,7 +193,7 @@ class BatchingQueue:
                 return b
         return self.buckets[-1]
 
-    def _process(self, batch: list[_Request]):
+    def _process_t2i(self, batch: list[_Request]):
         inf, n = self.inf, len(batch)
         b = self._bucket(n)
         if self._uncond1 is None:
@@ -178,3 +217,42 @@ class BatchingQueue:
         imgs = np.asarray(inf.sys.vae_decode(x, "image"))
         for i, r in enumerate(batch):
             r.future.set_result(imgs[i])
+
+    def _process_text(self, batch: list[_Request]):
+        """One DDIM pass over the text-latent rows of a t2t OR i2t group,
+        then per-request batch-1 GPT-2 decodes (see module docstring)."""
+        inf, n = self.inf, len(batch)
+        b = self._bucket(n)
+        flow = batch[0].flow
+        if flow == "t2t":
+            if self._uncond1 is None:
+                self._uncond1 = inf._encode_text([""])
+            texts = [r.text for r in batch] + [batch[0].text] * (b - n)
+            c = inf._encode_text(texts)
+            u = jnp.tile(self._uncond1, (b, 1, 1))
+            scale = inf.scale_textto
+        else:  # i2t: batched CLIP-vision encode of the request images
+            # (all images in a group must share H,W; ctx_encode resizes to
+            # the CLIP grid afterwards, so pre-resize varied inputs)
+            imgs = np.concatenate([r.image for r in batch]
+                                  + [batch[0].image] * (b - n), axis=0)
+            c = inf.sys.ctx_encode(jnp.asarray(imgs), "image")
+            if self._uncond_img1 is None:
+                # zeros-image rows encode identically → encode once, tile
+                self._uncond_img1 = inf.sys.ctx_encode(
+                    jnp.zeros_like(jnp.asarray(batch[0].image)), "image")
+            u = jnp.tile(self._uncond_img1, (b, 1, 1))
+            scale = inf.scale_imgto
+        shape = (b, inf.text_latent_dim)
+        xt = jnp.concatenate(
+            [jax.random.normal(jax.random.PRNGKey(r.seed), (1,) + shape[1:],
+                               inf.sys.dtype) for r in batch]
+            + [jnp.zeros((1,) + shape[1:], inf.sys.dtype)] * (b - n), axis=0)
+        x = inf._sample(
+            jax.random.PRNGKey(0), shape, {"type": "text", "xt": xt},
+            {"type": "text" if flow == "t2t" else "image", "conditioning": c,
+             "unconditional_conditioning": u,
+             "unconditional_guidance_scale": scale})
+        for i, r in enumerate(batch):
+            key = jax.random.fold_in(jax.random.PRNGKey(r.seed), 1)
+            r.future.set_result(inf._decode_texts(x[i:i + 1], key)[0])
