@@ -126,6 +126,18 @@ def main():
 
     for rate in (float(r) for r in args.rates.split(",")):
         lat, done_t = [], []
+        rec_lock = threading.Lock()
+
+        def record(t_sub, fut):
+            # done-callback stamps completion exactly (the submit loop only
+            # wakes between Poisson sleeps — polling there would inflate
+            # latency by up to one inter-arrival gap)
+            now = time.monotonic()
+            fut.result()  # surface worker exceptions
+            with rec_lock:
+                lat.append(now - t_sub)
+                done_t.append(now)
+
         stop_at = time.monotonic() + args.seconds
         rs = np.random.RandomState(42)
         with BatchingQueue(inf, buckets=buckets, max_wait_ms=25.0,
@@ -135,21 +147,14 @@ def main():
             while time.monotonic() < stop_at:
                 t_sub = time.monotonic()
                 fut = q.submit(prompts[i % len(prompts)], i)
-                pending.append((t_sub, fut))
+                fut.add_done_callback(
+                    lambda f, ts=t_sub: record(ts, f))
+                pending.append(fut)
                 i += 1
-                # drain completions opportunistically
-                while pending and pending[0][1].done():
-                    ts, f = pending.pop(0)
-                    f.result()
-                    now = time.monotonic()
-                    lat.append(now - ts)
-                    done_t.append(now)
                 time.sleep(rs.exponential(1.0 / rate))
-            for ts, f in pending:
+            for f in pending:
                 f.result(timeout=3600)
-                now = time.monotonic()
-                lat.append(now - ts)
-                done_t.append(now)
+        # close() drained the queue; callbacks ran on the worker thread
         lat_s = sorted(lat)
         span = (max(done_t) - min(done_t)) if len(done_t) > 1 else 1.0
         print(json.dumps({
