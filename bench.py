@@ -41,12 +41,44 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 A100_REFERENCE_IMGS_PER_SEC = 0.85
+
+
+def wait_for_backend(max_wait_s: float):
+    """Block until the TPU backend answers, probing in SUBPROCESSES.
+
+    The axon tunnel can be transiently unavailable for tens of minutes
+    (e.g. while the server grinds through an orphaned compile); jax caches
+    a failed backend init for the life of the process, so the probe must
+    run out-of-process. Gives up quietly after max_wait_s and lets the
+    real in-process init raise visibly."""
+    import subprocess
+    deadline = time.monotonic() + max_wait_s
+    probe = "import jax; jax.devices()"
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=1500)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if not first:
+                log("backend recovered")
+            return
+        if time.monotonic() > deadline:
+            log("backend still unavailable; proceeding (init will raise)")
+            return
+        log("backend unavailable; re-probing in 300s")
+        first = False
+        time.sleep(300)
 CACHE_DIR = os.environ.get(
     "VDTPU_BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       ".jaxcache"))
 
 
 def main():
+    wait_for_backend(float(os.environ.get("VDTPU_BENCH_WAIT_BACKEND", "3600")))
     import jax
     os.environ.setdefault(
         "VDTPU_AOT_CACHE",
