@@ -144,3 +144,31 @@ def test_vdinference_mesh_matches_single_device():
     assert len(sharded["conditioning"].sharding.device_set) == 2
     out = vdi_m.inference_t2i("a red cat", seed=0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_batching_queue_on_mesh_matches_single_device():
+    """BatchingQueue x mesh: the production queue dispatches its padded
+    CFG buckets through VDInference(mesh=...) unchanged (per-request x_T
+    rows ride the dp-sharded batch), and a request's image matches the
+    single-device queue to 1e-3 (sharded reduction-order tolerance)."""
+    from _tiny import det_tokenizer
+    from vdtpu.serving.api import VDInference, VDSystem
+    from vdtpu.serving.queue import BatchingQueue
+
+    sysm = VDSystem("vd_test_tiny").init_random(0, image_size=64)
+    kw = dict(text_tokenizer=det_tokenizer, output_dim=(64, 64),
+              ddim_steps=4, n_sample_image=2, image_latent_dim=4,
+              text_latent_dim=96, latent_downsample=2)
+    with BatchingQueue(VDInference(sysm, **kw), buckets=(2,),
+                       max_wait_ms=250.0) as q:
+        f1, f2 = q.submit("a red cat", 0), q.submit("a blue dog", 1)
+        ref = f1.result(timeout=600), f2.result(timeout=600)
+
+    mesh = make_mesh(2, tp=1)
+    sysm.params["diffuser"] = shard_params(mesh, sysm.params["diffuser"])
+    with BatchingQueue(VDInference(sysm, mesh=mesh, **kw), buckets=(2,),
+                       max_wait_ms=250.0) as q:
+        f1, f2 = q.submit("a red cat", 0), q.submit("a blue dog", 1)
+        out = f1.result(timeout=600), f2.result(timeout=600)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=1e-3)
