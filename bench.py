@@ -169,7 +169,8 @@ def main():
 
     tables = DDIMTables.create(model.schedule, steps, eta=0.0)
 
-    def make_t2i(n: int, encreuse: int = 0, dpmpp_steps: int = 0):
+    def make_t2i(n: int, encreuse: int = 0, dpmpp_steps: int = 0,
+                 tome: float = 0.0):
         # dpmpp_steps > 0 swaps the DDIM-50 scan for the DPM-Solver++(2M)
         # ladder at that step count (sampling/dpmpp.py; matched-quality
         # evidence: tests/test_dpmpp.py + the full-size int8+dpmpp20 row in
@@ -224,37 +225,45 @@ def main():
         from vdtpu.serving.aot import CachedCompile, cache_dir
         if cache_dir() is not None:
             return CachedCompile(
-                t2i, key=f"bench|{n}|{policy}|{encreuse}|{dpmpp_steps}")
+                t2i,
+                key=f"bench|{n}|{policy}|{encreuse}|{dpmpp_steps}|{tome}")
         return jax.jit(t2i)
 
     import numpy as np
     key = jax.random.PRNGKey(42)
     first_image_s = None
 
-    def measure(n: int, runs: int = 3, encreuse: int = 0, dpmpp_steps: int = 0):
+    def measure(n: int, runs: int = 3, encreuse: int = 0, dpmpp_steps: int = 0,
+                tome: float = 0.0):
         """Median s/run with a forced scalar read-back per run
         (block_until_ready alone returns early on tunneled backends)."""
         nonlocal first_image_s
-        t2i = make_t2i(n, encreuse, dpmpp_steps)
-        cond = jnp.tile(cond1, (n, 1, 1))
-        uncond = jnp.tile(uncond1, (n, 1, 1))
-        t0 = time.perf_counter()
-        out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
-        np.asarray(out[0, 0, 0, 0])
-        dt = time.perf_counter() - t0
-        if first_image_s is None:
-            first_image_s = dt
-        log(f"batch {n} encreuse={encreuse} dpmpp={dpmpp_steps}: "
-            f"compile+first-run {dt:.1f}s")
-        times = []
-        for i in range(runs):
+        from vdtpu.ops.tome import set_tome
+        set_tome(tome or None)  # read at trace time (first call below)
+        try:
+            t2i = make_t2i(n, encreuse, dpmpp_steps, tome)
+            cond = jnp.tile(cond1, (n, 1, 1))
+            uncond = jnp.tile(uncond1, (n, 1, 1))
             t0 = time.perf_counter()
-            out = t2i(params, vparams, cond, uncond, jax.random.fold_in(key, i))
-            jax.block_until_ready(out)
+            out = t2i(params, vparams, cond, uncond, key)  # compile + warmup
             np.asarray(out[0, 0, 0, 0])
-            times.append(time.perf_counter() - t0)
-            log(f"batch {n} run {i}: {times[-1]:.3f}s")
-        return sorted(times)[len(times) // 2]
+            dt = time.perf_counter() - t0
+            if first_image_s is None:
+                first_image_s = dt
+            log(f"batch {n} encreuse={encreuse} dpmpp={dpmpp_steps} "
+                f"tome={tome}: compile+first-run {dt:.1f}s")
+            times = []
+            for i in range(runs):
+                t0 = time.perf_counter()
+                out = t2i(params, vparams, cond, uncond,
+                          jax.random.fold_in(key, i))
+                jax.block_until_ready(out)
+                np.asarray(out[0, 0, 0, 0])
+                times.append(time.perf_counter() - t0)
+                log(f"batch {n} run {i}: {times[-1]:.3f}s")
+            return sorted(times)[len(times) // 2]
+        finally:
+            set_tome(None)
 
     dt2 = measure(n_samples)              # latency point (reference app shape)
     batch2 = n_samples / dt2
@@ -297,6 +306,13 @@ def main():
             dtde = measure(tp_batch, encreuse=enc, dpmpp_steps=dpm)
             result[f"dpmpp{dpm}_encreuse{enc}_images_per_sec"] = \
                 round(tp_batch / dtde, 4)
+    # opt-in token merging (ToMe-SD; ops/tome.py, quality row in PERF.md):
+    # SECONDARY evidence; warm-gated like the composed mode so a cold
+    # driver run isn't held hostage by one more 50-step compile
+    tome_ratio = float(os.environ.get("VDTPU_BENCH_TOME", "0.5") or 0)
+    if tome_ratio and warm:
+        dtt = measure(tp_batch, tome=tome_ratio)
+        result[f"tome{tome_ratio}_images_per_sec"] = round(tp_batch / dtt, 4)
     print(json.dumps(result))
 
 

@@ -241,6 +241,21 @@ def main():
             x_de, np.asarray(decode(jnp.asarray(x_de)), np.float32))
         log(f"dpmpp20+encreuse2 {time.perf_counter() - t0:.1f}s")
 
+    # token merging (ToMe-SD, arXiv 2303.17604; vdtpu/ops/tome.py) — like
+    # int8/encreuse, an approximation of the SAME output: the 4096-token
+    # self-attention sites run on half the tokens. Read at trace time, so
+    # the flag wraps exactly the jit built inside run_exact.
+    from vdtpu.ops.tome import set_tome
+    t0 = time.perf_counter()
+    set_tome(0.5)
+    try:
+        x_tm, _ = run_exact(model_q, pq)
+    finally:
+        set_tome(None)
+    variants["int8+tome0.5"] = (
+        x_tm, np.asarray(decode(jnp.asarray(x_tm)), np.float32))
+    log(f"tome0.5 {time.perf_counter() - t0:.1f}s")
+
     def cos(a, b):
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
         return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))

@@ -160,10 +160,19 @@ class BasicTransformerBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         attn = lambda name: CrossAttention(
             self.heads, self.dim_head, self.dim, self.dtype, name=name)
-        # residuals ride the output projections' epilogues (apply_add)
-        x = attn("attn1")(ln("norm1")(x).astype(self.dtype),
-                          context=context if self.disable_self_attn else None,
-                          residual=x)
+        from vdtpu.ops.tome import get_tome
+        tome = get_tome()  # opt-in approximate mode, read at trace time
+        if (tome is not None and not self.disable_self_attn
+                and x.shape[1] >= tome.min_tokens):
+            from vdtpu.ops.tome import build_merge
+            merge, unmerge, _ = build_merge(x, tome)
+            h = merge(ln("norm1")(x).astype(self.dtype))
+            x = x + unmerge(attn("attn1")(h))
+        else:
+            # residuals ride the output projections' epilogues (apply_add)
+            x = attn("attn1")(ln("norm1")(x).astype(self.dtype),
+                              context=context if self.disable_self_attn else None,
+                              residual=x)
         x = attn("attn2")(ln("norm2")(x).astype(self.dtype), context=context,
                           residual=x)
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(

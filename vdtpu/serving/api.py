@@ -175,6 +175,25 @@ class VDSystem:
                                    "quant": scales}
         return self
 
+    def enable_tome(self, ratio: float = 0.5, min_tokens: int = 4096):
+        """Switch on token merging (opt-in APPROXIMATE serving mode).
+
+        Sets the process-wide ToMe policy (vdtpu/ops/tome.py — read at
+        trace time by the transformer blocks; the sampler jit cache keys
+        on it, so flows warmed before this call re-trace). ratio=0.5
+        merges half the tokens at every self-attention site of at least
+        `min_tokens` tokens (default: only the 64x64 latent maps, the
+        ToMe-SD recipe). ratio=0 turns the mode off.
+
+        Composes with enable_int8 (full-resolution calibration bounds
+        remain valid upper bounds under merging — ops/tome.py docstring),
+        dpmpp2m, encoder_reuse and cfg_interval. Quality/throughput table:
+        PERF.md "Approximate-mode quality"."""
+        from vdtpu.ops.tome import ToMeSpec, set_tome
+        set_tome(ToMeSpec(ratio=float(ratio), min_tokens=int(min_tokens))
+                 if ratio else None)
+        return self
+
     # ---- CLIP feature helpers (evaluator plumbing: CLIP-sim / CLIP-FID) ----
 
     def clip_image_features(self, images) -> jnp.ndarray:

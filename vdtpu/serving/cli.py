@@ -56,6 +56,8 @@ def build_inference(args):
         # table in PERF.md "Approximate-mode quality")
         sysm.enable_int8(image_size=args.size,
                          latent_downsample=args.latent_downsample)
+    if args.tome:
+        sysm.enable_tome(ratio=args.tome)
     tokenizer = None
     if args.clip_vocab and args.clip_merges:
         import functools
@@ -120,6 +122,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="calibrated int8 diffuser (the bench headline "
                         "serving policy; +41%% at batch 8, PERF.md)")
+    p.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
+                   help="opt-in approximate mode: token-merging ratio for "
+                        "the 4096-token self-attention sites (ToMe-SD, "
+                        "arXiv 2303.17604; 0 = off, 0.5 typical)")
     args = p.parse_args(argv)
 
     vdi = build_inference(args)
