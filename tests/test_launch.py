@@ -58,7 +58,7 @@ def launch_env(tmp_path, monkeypatch):
     return cfg_path
 
 
-def test_launch_train_resume_eval(launch_env):
+def test_launch_train_resume_eval(launch_env, capsys):
     from vdtpu.training.launch import main
 
     # ---- 1. fresh training run to num_iters=2 ----
@@ -102,3 +102,13 @@ def test_launch_train_resume_eval(launch_env):
         written = yaml.safe_load(f)
     for k, v in written.items():
         assert v == v, f"{k} is NaN"
+
+    # ---- 4. eval of the trained run's own weights (EMA shadow) ----
+    capsys.readouterr()
+    summary2 = main(["--config", str(launch_env), "--eval",
+                     "--resume_dir", run_dir, "--eval_subdir", "eval_ema"])
+    assert summary2
+    out = capsys.readouterr().out
+    assert "loaded trained checkpoint 'last'" in out
+    spath2 = os.path.join(run_dir, "eval_ema", "summary.yaml")
+    assert os.path.exists(spath2)

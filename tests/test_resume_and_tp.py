@@ -29,7 +29,8 @@ TINY_CFG = {"args": {
 }}
 
 
-def _make_trainer(mesh=None, ckpt_dir=None, grad_accum=1):
+def _make_trainer(mesh=None, ckpt_dir=None, grad_accum=1, async_ckpt=False,
+                  ckpt_every=None):
     from vdtpu.models.vd import VDModel
     from vdtpu.parallel.mesh import shard_params
     from vdtpu.training.harness import Trainer
@@ -43,7 +44,8 @@ def _make_trainer(mesh=None, ckpt_dir=None, grad_accum=1):
     return Trainer(model, params, tx, set_lr,
                    scheduler=ConstantScheduler(lr=1e-3),
                    ema_decay=0.999, grad_accum=grad_accum, mesh=mesh,
-                   log_every=10**9, ckpt_dir=ckpt_dir)
+                   log_every=10**9, ckpt_dir=ckpt_dir,
+                   ckpt_every=ckpt_every, async_ckpt=async_ckpt)
 
 
 def _batches(skip=0):
@@ -123,3 +125,38 @@ def test_restore_under_tp_mesh(tmp_path):
                for _, leaf in flat)
     s2 = t2.run(_batches(skip=2), num_iters=3)
     assert s2.step == 3 and np.isfinite(t2.last_loss)
+
+
+def test_async_checkpointing_commits_and_matches_sync(tmp_path):
+    """async_ckpt=True hands cadence saves to orbax's commit thread; the run
+    still ends with every tag on disk (run() waits on exit) and a restore
+    from the async run reproduces the sync run's state bit-for-bit."""
+    ts = _make_trainer(ckpt_dir=str(tmp_path / "sync"), ckpt_every=2)
+    ss = ts.run(_batches(), num_iters=4)
+    ta = _make_trainer(ckpt_dir=str(tmp_path / "async"), ckpt_every=2,
+                       async_ckpt=True)
+    sa = ta.run(_batches(), num_iters=4)
+    # every cadence tag committed by the time run() returned
+    for tag in ("iter_2", "iter_4", "last"):
+        assert (tmp_path / "async" / tag).is_dir(), f"missing async tag {tag}"
+
+    tb = _make_trainer(ckpt_dir=str(tmp_path / "async"))
+    st = tb.restore()
+    assert st.step == 4
+    np.testing.assert_array_equal(_leaf(st.params), _leaf(sa.params))
+    np.testing.assert_array_equal(_leaf(st.params), _leaf(ss.params))
+    np.testing.assert_array_equal(_leaf(st.ema.shadow), _leaf(ss.ema.shadow))
+
+
+def test_restore_waits_for_inflight_async_save(tmp_path):
+    """restore_checkpoint must join an in-flight async save of the same tag
+    (no half-written directory race)."""
+    from vdtpu.training.checkpoints import restore_checkpoint, save_checkpoint
+    t = _make_trainer()
+    t.run(_batches(), num_iters=1)
+    save_checkpoint(str(tmp_path), "t", t.state, block=False)
+    payload = restore_checkpoint(str(tmp_path), "t")  # must not race
+    assert int(np.asarray(payload["step"])) == 1
+    np.testing.assert_array_equal(
+        np.asarray(payload["params"]["image"]["data_blocks.0.0"]["kernel"]),
+        _leaf(t.state.params))

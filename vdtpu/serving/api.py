@@ -252,6 +252,41 @@ class VDSystem:
             missing += m
         return missing
 
+    def load_vdtpu_checkpoint(self, ckpt_dir: str, tag: str | None = None,
+                              use_ema: bool = True, ctx_slot: str = "text"):
+        """Serve weights trained by vdtpu's own Trainer (orbax layout:
+        params + opt_state + EMA + step, training/checkpoints.py).
+
+        use_ema prefers the EMA shadow when the run kept one — the reference
+        samples under ema_scope (vd.py:188-198), so EMA weights are the
+        production serving set — and falls back to the raw params otherwise.
+        Checkpoints from the ctx_encode_trainable path ({'diffuser','ctx'}
+        param layout, harness.make_loss_fn) restore the fine-tuned context
+        encoder into ``self.params['ctx'][ctx_slot]`` too. Returns the tag
+        actually loaded.
+        """
+        from vdtpu.training.checkpoints import latest_tag, restore_checkpoint
+        if tag is None:
+            tag = latest_tag(ckpt_dir)
+        payload = restore_checkpoint(ckpt_dir, tag)
+        ema = payload.get("ema")
+        # runs without EMA persist ema=None (orbax may surface it as an
+        # empty container): fall back to the raw params
+        src = ema["shadow"] if (use_ema and isinstance(ema, Mapping)
+                                and ema.get("shadow") is not None) \
+            else payload["params"]
+        if isinstance(src, Mapping) and set(src) >= {"diffuser"}:
+            diff, ctx = src["diffuser"], src.get("ctx")
+        else:
+            diff, ctx = src, None
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).astype(self.dtype)
+            if hasattr(a, "astype") else a, t)
+        self.params["diffuser"] = cast(diff)
+        if ctx is not None:
+            self.params["ctx"][ctx_slot] = cast(ctx)
+        return tag
+
     # ---- stage wrappers (jitted) ----
 
     @functools.cached_property

@@ -18,8 +18,34 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, tag: str, state) -> str:
-    """state: vdtpu.training.harness.TrainState (or any pytree-like)."""
+_ASYNC: ocp.AsyncCheckpointer | None = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    # one long-lived instance: orbax serializes overlapping saves on it
+    # (a new save first joins the previous commit thread), so cadence saves
+    # can never interleave half-written directories
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has committed to disk."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
+def save_checkpoint(ckpt_dir: str, tag: str, state, *, block: bool = True) -> str:
+    """state: vdtpu.training.harness.TrainState (or any pytree-like).
+
+    block=False hands the disk write to orbax's async commit thread: the
+    device->host snapshot happens before save() returns (so the training
+    step may immediately overwrite the arrays), and only the serialization
+    + write overlap with subsequent steps. Call :func:`wait_for_saves`
+    (the Trainer does, on exit) before trusting the file exists.
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), tag)
     payload = {
         "params": state.params,
@@ -28,11 +54,12 @@ def save_checkpoint(ckpt_dir: str, tag: str, state) -> str:
             {"shadow": state.ema.shadow, "num_updates": state.ema.num_updates},
         "step": state.step,
     }
-    _ckptr().save(path, payload, force=True)
+    (_ckptr() if block else _async_ckptr()).save(path, payload, force=True)
     return path
 
 
 def restore_checkpoint(ckpt_dir: str, tag: str, template=None) -> dict[str, Any]:
+    wait_for_saves()  # an in-flight async save of this tag must land first
     path = os.path.join(os.path.abspath(ckpt_dir), tag)
     return _ckptr().restore(path, item=template)
 

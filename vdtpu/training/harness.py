@@ -138,6 +138,7 @@ class Trainer:
         eval_fn: Callable | None = None,
         eval_every: int | None = None,
         ctx_encode_fn: Callable | None = None,
+        async_ckpt: bool = False,
     ):
         self.model = model
         self.tx = tx
@@ -150,8 +151,9 @@ class Trainer:
         self.ckpt_dir = ckpt_dir
         self.eval_fn = eval_fn
         self.eval_every = eval_every
+        self.async_ckpt = async_ckpt
         self.best_metric = None
-        self.last_loss = None
+        self._loss_dev = None  # device scalar; float'd lazily (last_loss)
 
         raw_step = make_train_step(model, tx, x_type, c_type, ema_decay,
                                    grad_accum, ctx_encode_fn)
@@ -205,6 +207,12 @@ class Trainer:
             raise ValueError(f"unknown step unit {unit!r}")
         rng = jax.random.PRNGKey(0) if rng is None else rng
         logm = MetricAccumulator()
+        pending: list = []  # (device aux, weight) awaiting the log window
+
+        def drain_metrics():
+            for a, w in pending:
+                logm.accumulate({k: float(v) for k, v in a.items()}, weight=w)
+            pending.clear()
         t0 = time.time()
         it = iter(batches)
         while self.state.step < num_iters:
@@ -220,10 +228,16 @@ class Trainer:
                 jnp.asarray(batch["x"]), jnp.asarray(batch["ctx"]), sub,
                 jnp.asarray(lr, jnp.float32))
             self.state = TrainState(params, opt, ema, self.state.step + 1)
-            self.last_loss = float(loss)
-            logm.accumulate({k: float(v) for k, v in aux.items()},
-                            weight=batch["x"].shape[0])
+            # keep loss/aux as device scalars: a float() here would block on
+            # the step EVERY iteration, serializing dispatch (one tunnel RTT
+            # per step); metrics materialize once per log window instead
+            self._loss_dev = loss
+            pending.append((aux, batch["x"].shape[0]))
+            if len(pending) >= 256:
+                drain_metrics()  # bound held device refs; entries this old
+                # are long computed, so the float()s return immediately
             if self.state.step % self.log_every == 0:
+                drain_metrics()
                 msg = logm.summary()
                 print_log(f"Iter {self.state.step} | LR {lr:.3e} | {msg} "
                           f"| Time {time.time() - t0:.1f}s")
@@ -237,13 +251,25 @@ class Trainer:
             if self.ckpt_every and self.state.step % self.ckpt_every == 0:
                 self._save(f"iter_{self.state.step}")
         self._save("last")
+        if self.async_ckpt:
+            from vdtpu.training.checkpoints import wait_for_saves
+            wait_for_saves()  # commit 'last' (and any cadence saves) to disk
         return self.state
+
+    @property
+    def last_loss(self):
+        """Most recent step's scalar loss (blocks on the device value)."""
+        return None if self._loss_dev is None else float(self._loss_dev)
 
     def _save(self, tag: str):
         if not self.ckpt_dir:
             return
         from vdtpu.training.checkpoints import save_checkpoint
-        save_checkpoint(self.ckpt_dir, tag, self.state)
+        # async: the device->host snapshot is taken synchronously, the disk
+        # write overlaps the following train steps (orbax commit thread) —
+        # cadence saves stop stalling the step loop
+        save_checkpoint(self.ckpt_dir, tag, self.state,
+                        block=not self.async_ckpt)
 
     def restore(self, ckpt_dir: str | None = None, tag: str | None = None):
         """Resume from a saved checkpoint: params + opt_state + EMA + step

@@ -189,6 +189,18 @@ def main(argv=None):
     params = system.params["diffuser"]
 
     if args.eval:
+        # evaluate the run's own trained weights when the dir holds
+        # checkpoints: prefer the EMA shadow — the reference evaluates under
+        # ema_scope (vd.py:188-198) — configurable via eval.use_ema
+        try:
+            tag = system.load_vdtpu_checkpoint(
+                exp.weight_dir, tag=args.resume_weight,
+                use_ema=bool((ecfg.get("eval") or {}).get("use_ema", True)))
+            from vdtpu.utils.logging import print_log
+            print_log(f"eval: loaded trained checkpoint '{tag}' "
+                      f"from {exp.weight_dir}")
+        except FileNotFoundError:
+            pass  # pretrained-only eval: no trained checkpoints in this dir
         return run_eval(ecfg, system, exp, args)
 
     tcfg = ecfg["train"]
@@ -215,7 +227,8 @@ def main(argv=None):
         ema_decay=tcfg.get("ema_decay"),
         grad_accum=tcfg.get("gradacc_every", 1), mesh=mesh,
         log_every=tcfg.get("log_every", 100),
-        ckpt_every=tcfg.get("ckpt_every"), ckpt_dir=exp.weight_dir)
+        ckpt_every=tcfg.get("ckpt_every"), ckpt_dir=exp.weight_dir,
+        async_ckpt=bool(tcfg.get("async_ckpt", False)))
 
     if args.resume_dir:
         # restore params + opt_state + EMA + step and continue counting
