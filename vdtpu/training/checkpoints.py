@@ -46,6 +46,11 @@ def save_checkpoint(ckpt_dir: str, tag: str, state, *, block: bool = True) -> st
     + write overlap with subsequent steps. Call :func:`wait_for_saves`
     (the Trainer does, on exit) before trusting the file exists.
     """
+    if block:
+        # serialize with any in-flight async save: a sync writer (fresh
+        # PyTreeCheckpointer) does not join the async commit thread, so
+        # mixing modes on one dir could race two writers on the same tag
+        wait_for_saves()
     path = os.path.join(os.path.abspath(ckpt_dir), tag)
     payload = {
         "params": state.params,
@@ -67,6 +72,7 @@ def restore_checkpoint(ckpt_dir: str, tag: str, template=None) -> dict[str, Any]
 def latest_tag(ckpt_dir: str) -> str:
     """Most recent checkpoint tag in a run dir: prefer ``last``, else the
     highest ``iter_N``, else ``best`` (ref filename scheme utils.py:315-359)."""
+    wait_for_saves()  # tag discovery must see all committed async saves
     tags = [d for d in os.listdir(ckpt_dir)
             if os.path.isdir(os.path.join(ckpt_dir, d))]
     if "last" in tags:

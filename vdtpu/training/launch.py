@@ -200,6 +200,13 @@ def main(argv=None):
             print_log(f"eval: loaded trained checkpoint '{tag}' "
                       f"from {exp.weight_dir}")
         except FileNotFoundError:
+            if args.resume_weight is not None:
+                # the user named a tag explicitly — evaluating whatever
+                # weights happen to be loaded instead would silently score
+                # the wrong model
+                raise SystemExit(
+                    f"--resume_weight {args.resume_weight!r} not found "
+                    f"under {exp.weight_dir}")
             pass  # pretrained-only eval: no trained checkpoints in this dir
         return run_eval(ecfg, system, exp, args)
 
