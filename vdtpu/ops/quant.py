@@ -43,6 +43,79 @@ def get_policy() -> str | None:
     return _POLICY
 
 
+# ---- per-site policy ---------------------------------------------------
+#
+# The int8 convert/GN-stat tax is a PER-SITE sum (34% of the serving step,
+# PERF.md batch-16 trace) while the MXU gain varies wildly across sites —
+# a site filter lets serving keep int8 only where it pays. Sites are
+# identified by their flax module path + input channel count; the filter is
+# read at TRACE time (jits traced under one filter do not retrace — the
+# sampler jit cache keys on site_filter_key()). Calibration ignores the
+# filter (scales exist for every site, so any subset can serve from one
+# calibration). scripts/int8_sites.py measures the leave-one-class-out
+# ladder that sets the default.
+
+_SITE_FILTER = None       # callable(path: str, cin: int) -> bool (True=int8)
+_SITE_FILTER_KEY: str = ""
+
+
+def _compile_site_spec(spec: str):
+    """Comma-separated ``pattern[@cin]`` entries naming site classes to
+    DISABLE (run in the compute dtype). ``pattern`` substring-matches the
+    site's module path (e.g. ``in_layers.2``, ``qkv``, ``to_out.0``,
+    ``ff/net``); ``@cin`` restricts to sites with that input channel
+    count (``@*`` or absent = any)."""
+    rules = []
+    for ent in spec.split(","):
+        ent = ent.strip().lstrip("-")
+        if not ent:
+            continue
+        pat, _, ch = ent.partition("@")
+        rules.append((pat, None if ch in ("", "*") else int(ch)))
+
+    def fn(path: str, cin: int) -> bool:
+        for pat, ch in rules:
+            if pat in path and (ch is None or ch == cin):
+                return False
+        return True
+
+    return fn
+
+
+def set_site_filter(spec):
+    """None (all sites int8 — default), a ``pattern[@cin]`` spec string of
+    classes to drop to bf16, or a callable(path, cin) -> bool."""
+    global _SITE_FILTER, _SITE_FILTER_KEY
+    if spec is None or spec == "":
+        _SITE_FILTER, _SITE_FILTER_KEY = None, ""
+    elif isinstance(spec, str):
+        _SITE_FILTER, _SITE_FILTER_KEY = _compile_site_spec(spec), spec
+    else:
+        _SITE_FILTER, _SITE_FILTER_KEY = spec, repr(spec)
+
+
+def site_filter_key() -> str:
+    """Hashable descriptor of the active filter for jit-cache keys."""
+    return _SITE_FILTER_KEY
+
+
+def _module_path(mod) -> str:
+    try:
+        return "/".join(str(p) for p in mod.path)
+    except Exception:
+        scope = getattr(mod, "scope", None)
+        return "/".join(str(p) for p in getattr(scope, "path", ()) or ())
+
+
+def _site_enabled(mod, cin: int, suffix: str = "") -> bool:
+    """True when this call site should run int8 under the active filter.
+    Calibration always runs every site (any serving subset reuses one
+    calibration pass)."""
+    if _SITE_FILTER is None or get_policy() == "int8_calib":
+        return True
+    return _SITE_FILTER(_module_path(mod) + suffix, cin)
+
+
 def _quantize_weight(w, reduce_axes):
     """Symmetric per-output-channel int8: returns (int8 w, f32 scale)."""
     s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes, keepdims=True)
@@ -164,7 +237,8 @@ def fused_proj(owner: nn.Module, x, kernels, dtype, suffix: str = ""):
     materializes copies; measured per-backend.
     """
     pol = get_policy()
-    if pol is None:
+    if pol is None or not _site_enabled(owner, x.shape[-1],
+                                        suffix="/qkv" + suffix):
         xc = x.astype(dtype)
         return [xc @ w.astype(dtype) for w in kernels]
     nbatch = x.ndim - 1
@@ -344,9 +418,12 @@ class QConv(_QBase):
                             (kh, kw, x.shape[-1], self.features))
         # int8 loses below ~16x16 spatial (8x8x1280: 17.9 vs 22.1 bf16
         # TFLOP/s on v5e — quantize overhead outweighs the MXU win on tiny
-        # GEMMs); same params either way, so the fallback is free
+        # GEMMs); same params either way, so the fallback is free. The
+        # per-site filter (set_site_filter) routes dropped classes through
+        # the same compute-dtype path.
         if x.shape[1] * x.shape[2] < int(os.environ.get(
-                "VDTPU_INT8_MIN_PIXELS", "256")):
+                "VDTPU_INT8_MIN_PIXELS", "256")) \
+                or not _site_enabled(self, x.shape[-1]):
             if gn is not None:
                 from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
                 gs, gb, with_silu, eps = gn
@@ -460,6 +537,21 @@ class QDense(_QBase):
     def __call__(self, x, gn=None, add=None):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
+        if not _site_enabled(self, x.shape[-1]):
+            # per-site filter dropped this class: compute-dtype matmul with
+            # the same params (and the same fused gn/add epilogue contract)
+            if gn is not None:
+                from vdtpu.ops.pallas.gn_silu import _ref_gn_silu
+                gs, gb, with_silu, eps = gn
+                shape = x.shape
+                x = _ref_gn_silu(x.reshape(shape[0], -1, shape[-1]), gs, gb,
+                                 32, eps, with_silu).reshape(shape)
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                y = y + bias.astype(self.dtype)
+            return y if add is None else y + add.astype(self.dtype)
         wq, s_w = self._weights(kernel, (0,))  # s_w [1, f]
         xq, s_x = self._act(x) if gn is None else self._act_with_prologue(x, gn)
         y = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
@@ -471,3 +563,9 @@ class QDense(_QBase):
         if add is not None:  # fused residual (see QConv)
             y = y + add.astype(jnp.float32)
         return y.astype(self.dtype)
+
+
+# Env hookup for the measurement scripts: VDTPU_INT8_SITES holds a
+# set_site_filter() spec string (classes to drop to bf16).
+if os.environ.get("VDTPU_INT8_SITES"):
+    set_site_filter(os.environ["VDTPU_INT8_SITES"])

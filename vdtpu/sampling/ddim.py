@@ -307,14 +307,14 @@ class DDIMSampler:
         VERDICT r1 item 9)."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
-        from vdtpu.ops.quant import get_policy
+        from vdtpu.ops.quant import get_policy, site_filter_key
         from vdtpu.ops.tome import get_tome
-        # the active quant policy and token-merging spec are read at TRACE
-        # time by the conv/dense/attention sites, so they must be part of
-        # the cache identity: a process that warms a flow in bf16 and then
-        # calls VDSystem.enable_int8() / set_tome() must re-trace, not
-        # silently reuse the stale executable
-        cache_key = (cache_key, get_policy(), get_tome())
+        # the active quant policy, per-site filter and token-merging spec
+        # are read at TRACE time by the conv/dense/attention sites, so they
+        # must be part of the cache identity: a process that warms a flow in
+        # bf16 and then calls VDSystem.enable_int8() / set_site_filter() /
+        # set_tome() must re-trace, not silently reuse the stale executable
+        cache_key = (cache_key, get_policy(), site_filter_key(), get_tome())
         fn = self._jit_cache.get(cache_key)
         if fn is None:
             from vdtpu.serving.aot import CachedCompile, cache_dir
