@@ -131,8 +131,8 @@ def test_close_drains_pending(vdi):
 def test_multiflow_grouping_and_text_independence(vdi):
     """One sweep may mix t2i/t2t/i2t — groups dispatch per flow; and the
     text flows inherit the fixed-bucket composition guarantee (the GPT-2
-    decode runs per request at batch 1 with the request's own key, so a
-    co-rider can't perturb another request's sampled tokens)."""
+    decode batches with PER-ROW key streams — optimus.generate's [B,2] rng
+    form — so a co-rider can't perturb another request's sampled tokens)."""
     im = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
     with BatchingQueue(vdi, buckets=(1, 4), max_wait_ms=250.0) as q:
         fi = q.submit("a red cat", 0)
@@ -217,3 +217,83 @@ def test_composition_independence_int8():
         assert delta < 0.05, f"cross-bucket int8 delta too large: {delta}"
     finally:
         quant.set_policy(None)
+
+
+def test_i2i_batched_equals_solo(vdi):
+    """i2i batches by derived x0_forward_timesteps: same-level requests
+    share one truncated-scan executable; a request's image is independent
+    of its co-riders (per-row q-sample noise from its own seed)."""
+    rs = np.random.RandomState(0)
+    ims = [rs.rand(1, 64, 64, 3).astype(np.float32) for _ in range(3)]
+
+    # solo: alone in a padded bucket-of-4
+    with BatchingQueue(vdi, buckets=(4,), max_wait_ms=100.0) as q:
+        solo = q.submit_i2i(ims[0], 0.5, 0.5, None, seed=3).result(timeout=600)
+
+    # coalesced with same-level co-riders (one shared dispatch)
+    sizes = []
+    probe = _recording(vdi, sizes)
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=250.0) as q:
+        f = q.submit_i2i(ims[0], 0.5, 0.5, None, seed=3)
+        _ = q.submit_i2i(ims[1], 0.5, 0.2, "Simple", seed=4)
+        _ = q.submit_i2i(ims[2], 0.5, 0.8, None, seed=5)
+        packed = f.result(timeout=600)
+    assert sizes == [4]
+    np.testing.assert_allclose(packed, solo, atol=1e-5)
+
+    # different fid levels cannot share a scan: two dispatches
+    sizes.clear()
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=250.0) as q:
+        a = q.submit_i2i(ims[0], 0.5, 0.5, None, seed=3)
+        b = q.submit_i2i(ims[1], 0.0, 0.5, None, seed=4)  # full scan
+        a.result(timeout=600), b.result(timeout=600)
+    assert sorted(sizes) == [4, 4] and len(sizes) == 2
+
+    # fid_lvl=1 short-circuits to the input (app.py:326)
+    with BatchingQueue(vdi, buckets=(4,), max_wait_ms=1.0) as q:
+        ident = q.submit_i2i(ims[0], 1.0, 0.5, None, seed=9).result(timeout=60)
+    np.testing.assert_array_equal(ident, ims[0][0])
+
+
+def test_mcg_batched_equals_solo(vdi):
+    """The multicontext family (dcg/tcg/mcg) batches by (image count,
+    textstrength): conditioning rows stack, batch-level scale/ratio match,
+    and a request's image is co-rider independent."""
+    rs = np.random.RandomState(1)
+    ims = [rs.rand(1, 64, 64, 3).astype(np.float32) for _ in range(4)]
+
+    with BatchingQueue(vdi, buckets=(4,), max_wait_ms=100.0) as q:
+        solo = q.submit_dcg(ims[0], 0.5, "a boat", 0.4, seed=2).result(timeout=600)
+
+    sizes = []
+    probe = _recording(vdi, sizes)
+    probe._sample_multi = vdi._sample_multi  # records only _sample; patch multi
+    def rec_multi(key, shape, xinfo, cinfos, _orig=vdi._sample_multi):
+        sizes.append(shape[0])
+        return _orig(key, shape, xinfo, cinfos)
+    probe._sample_multi = rec_multi
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=250.0) as q:
+        f = q.submit_dcg(ims[0], 0.5, "a boat", 0.4, seed=2)
+        _ = q.submit_dcg(ims[1], 0.2, "a plane", 0.4, seed=7)
+        packed = f.result(timeout=600)
+    assert sizes == [4]
+    np.testing.assert_allclose(packed, solo, atol=1e-5)
+
+    # different textstrength => different guidance scale => separate groups
+    sizes.clear()
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=250.0) as q:
+        a = q.submit_dcg(ims[0], 0.5, "a boat", 0.4, seed=2)
+        b = q.submit_dcg(ims[1], 0.5, "a plane", 0.8, seed=7)
+        a.result(timeout=600), b.result(timeout=600)
+    assert len(sizes) == 2
+
+    # tcg (two image contexts) groups separately from dcg (one)
+    sizes.clear()
+    with BatchingQueue(probe, buckets=(4,), max_wait_ms=250.0) as q:
+        a = q.submit_tcg([{"image": ims[0], "strength": 1.0, "fcs_lvl": 0.5},
+                          {"image": ims[2], "strength": 0.7, "fcs_lvl": 0.5}],
+                         "a boat", 0.4, seed=2)
+        b = q.submit_dcg(ims[1], 0.5, "a plane", 0.4, seed=7)
+        ta, tb = a.result(timeout=600), b.result(timeout=600)
+    assert len(sizes) == 2
+    assert ta.shape == tb.shape == (64, 64, 3)

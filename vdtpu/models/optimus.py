@@ -240,8 +240,16 @@ class OptimusGPT2Connector(nn.Module):
 
         Returns token ids [B, max_length] starting with BOS; positions after
         the first EOS are filled with EOS.
+
+        ``rng`` is either ONE key (the reference semantics: a single
+        batch-shaped categorical draw per step — row i's noise then depends
+        on the batch composition) or a [B, 2] stack of PER-ROW keys: each
+        row samples from its own key stream, so a row's text is independent
+        of its co-riders — what lets the serving queue batch text decodes
+        (serving/queue.py) instead of running one request at a time.
         """
         b = z.shape[0]
+        per_row = getattr(rng, "ndim", 1) == 2
         hsz = self.cfgd["n_embd"]
         mems, emb_off = self._latents(z)
         k0 = jnp.zeros((self.n_layer, b, max_length + 1, hsz), self.dtype)
@@ -266,8 +274,16 @@ class OptimusGPT2Connector(nn.Module):
             logits = self._logits(self.ln_f(h).astype(self.dtype))[:, 0]
             logits = logits / temperature
             logits = top_k_top_p_filter(logits, top_k, top_p)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, logits.astype(jnp.float32), axis=-1)
+            if per_row:
+                ks = jax.vmap(jax.random.split)(rng)  # [B, 2, 2]
+                rng, sub = ks[:, 0], ks[:, 1]
+                nxt = jax.vmap(
+                    lambda k, l: jax.random.categorical(
+                        k, l.astype(jnp.float32)))(sub, logits)
+            else:
+                rng, sub = jax.random.split(rng)
+                nxt = jax.random.categorical(sub, logits.astype(jnp.float32),
+                                             axis=-1)
             # force EOS at the length cap (ref optimus.py:685-687)
             nxt = jnp.where(i >= max_length - 2, eos_token, nxt)
             nxt = jnp.where(done, eos_token, nxt)

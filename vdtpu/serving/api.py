@@ -514,6 +514,18 @@ class VDInference:
         """Multi-context blend (app.py:500-579). Each image ctx:
         {image: [1,H,W,3], strength, fcs_lvl, mask: optional [1,H,W,1]}."""
         n = self.n_sample_image
+        inputs_shown, c_info_list = self._mcg_context(
+            image_ctxs, text, textstrength, n)
+        key = jax.random.PRNGKey(seed)
+        x = self._sample_multi(key, self._image_shape(n), {"type": "image"}, c_info_list)
+        return inputs_shown, self.sys.vae_decode(x, "image")
+
+    def _mcg_context(self, image_ctxs: Sequence[Mapping[str, Any]],
+                     text: str | None, textstrength: float, n: int):
+        """(inputs_shown, c_info_list) for a multi-context request with the
+        conditioning tiled to ``n`` rows. Split out of inference_mcg so the
+        serving queue can build per-request single-row conditionings and
+        stack them into one multicontext batch (serving/queue.py)."""
         c_info_list = []
         if text and textstrength != 0:
             ut = jnp.tile(self._encode_text([""]), (n, 1, 1))
@@ -546,7 +558,4 @@ class VDInference:
             "type": "image", "conditioning": cis,
             "unconditional_conditioning": jnp.zeros_like(cis),
             "unconditional_guidance_scale": scale, "ratio": 1 - textstrength})
-
-        key = jax.random.PRNGKey(seed)
-        x = self._sample_multi(key, self._image_shape(n), {"type": "image"}, c_info_list)
-        return inputs_shown, self.sys.vae_decode(x, "image")
+        return inputs_shown, c_info_list

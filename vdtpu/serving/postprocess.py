@@ -67,12 +67,15 @@ class AdjustRank:
         x32 = x.astype(jnp.float32)
         std_save = x32.std(axis=(-2, -1))
         u, s, vt, x_mean, x_remain = _decompose(x32, self.q)
+        # SVD yields min(N, D, q) ranks: token matrices shorter than q
+        # (e.g. test miniatures) keep their full spectrum and the rank
+        # weights truncate to match (full-size: s is exactly q long)
         if lvl < 0.5:
             assert lvl >= 0
-            s = s * jnp.asarray(self._sem_weights(lvl))
+            s = s * jnp.asarray(self._sem_weights(lvl)[:s.shape[-1]])
         else:
             assert lvl <= 1
-            s = s * jnp.asarray(self._sty_weights(lvl))
+            s = s * jnp.asarray(self._sty_weights(lvl)[:s.shape[-1]])
             x_remain = 0.0
         x_new = jnp.einsum("bnq,bq,bqd->bnd", u, s, vt) + x_mean + x_remain
         std_new = x_new.std(axis=(-2, -1))

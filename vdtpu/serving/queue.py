@@ -32,18 +32,29 @@ CFG-batched sampler call:
 All JAX work happens on the single worker thread; `submit` is thread-safe
 and returns a `concurrent.futures.Future` resolving to one [H,W,3] image.
 
-Beyond t2i, the text-output flows batch too (`submit_t2t` / `submit_i2t`
-→ Future[str]): requests gathered in one sweep are grouped by flow and
-each group runs as its own padded bucket (flows can't share a diffuser
-batch — different latent spaces and context towers). The DDIM latents
-batch exactly like t2i; the Optimus GPT-2 decode then runs per request at
-batch 1 with the request's own key, because decode sampling draws
-batch-shaped noise — decoding rows together would make a request's text
-depend on its co-riders. The decode is a single ~30-token GPT-2 scan,
-negligible next to the 50-step UNet, and batch-1 keeps one compiled
-executable. i2i stays per-request (`VDInference.inference_i2i`): its
-fid_lvl changes the scan length, so coalescing would recompile per
-distinct level — the opposite of what the queue is for.
+ALL SEVEN flows batch (ref signatures app.py:300-579):
+
+- `submit_t2t` / `submit_i2t` → Future[str]: requests gathered in one
+  sweep are grouped by flow and each group runs as its own padded bucket
+  (flows can't share a diffuser batch — different latent spaces and
+  context towers). The DDIM latents batch exactly like t2i; the Optimus
+  GPT-2 decode batches too, with PER-ROW key streams
+  (models/optimus.py generate's [B,2] rng form) so a request's sampled
+  tokens depend only on its own key — not on co-riders — by construction.
+- `submit_i2i` → Future[image]: grouped by the derived
+  ``x0_forward_timesteps`` count (fid_lvl quantizes to DDIM-step
+  granularity anyway — int(steps*(1-fid)) — so each distinct scan LENGTH
+  is its own bucket family and reuses one executable; mixing levels in a
+  batch is impossible because the truncation changes the scan). The
+  q-sample noise is per-row from each request's seed (the sampler's
+  x_info["noise"] path). fcs_lvl / clr_adj are per-request pre/post
+  steps and batch freely.
+- `submit_dcg` / `submit_tcg` / `submit_mcg` → Future[image]: grouped by
+  (image-context count, has-text, textstrength) — the multicontext
+  conditioning shape [B, n_img*257, C] and the batch-level guidance
+  scale/ratio must match across rows; per-request strengths, focus
+  levels and masks ride in the conditioning VALUES, which are per-row.
+  Conditioning rows come from VDInference._mcg_context at n=1 and stack.
 """
 from __future__ import annotations
 
@@ -60,12 +71,30 @@ import numpy as np
 
 @dataclass
 class _Request:
-    text: str                 # prompt (t2i/t2t); unused for i2t
+    text: str                 # prompt (t2i/t2t/dcg/mcg); unused for i2t/i2i
     seed: int
-    flow: str = "t2i"         # "t2i" | "t2t" | "i2t"
-    image: np.ndarray | None = None  # [1,H,W,3] float conditioning (i2t)
+    flow: str = "t2i"         # "t2i" | "t2t" | "i2t" | "i2i" | "mcg"
+    image: np.ndarray | None = None  # [1,H,W,3] float conditioning (i2t/i2i)
+    fid_lvl: float = 0.0      # i2i
+    fcs_lvl: float = 0.5      # i2i
+    clr_adj: str | None = None  # i2i
+    image_ctxs: tuple | None = None  # mcg family (dcg=1 img, tcg<=2)
+    textstrength: float = 0.0  # mcg family
     future: Future = field(default_factory=Future)
     t_enq: float = field(default_factory=time.monotonic)
+
+    def group(self, ddim_steps: int) -> tuple:
+        """Batchability key: rows in one diffuser batch must share latent
+        shape, scan length (i2i truncation), conditioning shape (mcg image
+        count) and batch-level guidance scale/ratio (mcg textstrength)."""
+        if self.flow == "i2i":
+            k = int(ddim_steps * (1 - self.fid_lvl)) if self.fid_lvl else None
+            return ("i2i", k)
+        if self.flow == "mcg":
+            has_text = bool(self.text) and self.textstrength != 0
+            return ("mcg", len(self.image_ctxs), has_text,
+                    round(float(self.textstrength), 6) if has_text else 0.0)
+        return (self.flow,)
 
 
 class BatchingQueue:
@@ -108,6 +137,43 @@ class BatchingQueue:
         `inference_i2t` contract); Future resolves to one string."""
         img = np.asarray(image, np.float32)
         return self._submit(_Request("", int(seed), flow="i2t", image=img))
+
+    def submit_i2i(self, image, fid_lvl: float, fcs_lvl: float,
+                   clr_adj: str | None, seed: int) -> Future:
+        """Image variation (inference_i2i contract); Future resolves to one
+        [H,W,3] image. fid_lvl=1 is an identity short-circuit (app.py:326)."""
+        img = np.asarray(image, np.float32)
+        if float(fid_lvl) == 1.0:
+            f = Future()
+            f.set_result(img[0])
+            return f
+        return self._submit(_Request("", int(seed), flow="i2i", image=img,
+                                     fid_lvl=float(fid_lvl),
+                                     fcs_lvl=float(fcs_lvl), clr_adj=clr_adj))
+
+    def submit_dcg(self, image, fcs_lvl: float, text: str,
+                   textstrength: float, seed: int) -> Future:
+        """Dual-context guidance (inference_dcg contract)."""
+        return self.submit_mcg(
+            [{"image": np.asarray(image, np.float32), "strength": 1.0,
+              "fcs_lvl": fcs_lvl}],
+            text=text, textstrength=textstrength, seed=seed)
+
+    def submit_tcg(self, image_ctxs, text, textstrength, seed: int) -> Future:
+        """Triple-context = mcg limited to two images (inference_tcg)."""
+        return self.submit_mcg(list(image_ctxs)[:2], text, textstrength, seed)
+
+    def submit_mcg(self, image_ctxs, text: str | None, textstrength: float,
+                   seed: int) -> Future:
+        """Multi-context blend; Future resolves to one [H,W,3] image
+        (inference_mcg semantics minus the echoed inputs_shown)."""
+        ctxs = tuple(dict(c) for c in image_ctxs
+                     if c is not None and c.get("image") is not None)
+        if not ctxs:
+            raise ValueError("mcg needs at least one image context")
+        return self._submit(_Request(text or "", int(seed), flow="mcg",
+                                     image_ctxs=ctxs,
+                                     textstrength=float(textstrength)))
 
     def _submit(self, r: _Request) -> Future:
         with self._submit_lock:
@@ -171,17 +237,19 @@ class BatchingQueue:
             batch = self._gather()
             if batch is None:
                 return
-            # one sweep may mix flows; each flow is its own bucket (they
-            # can't share a diffuser batch). Fixed processing order keeps
-            # the worker deterministic.
-            for flow, proc in (("t2i", self._process_t2i),
-                               ("t2t", self._process_text),
-                               ("i2t", self._process_text)):
-                group = [r for r in batch if r.flow == flow]
-                if not group:
-                    continue
+            # one sweep may mix flows and batchability classes; each group
+            # key is its own bucket (_Request.group). Sorted processing
+            # order keeps the worker deterministic.
+            procs = {"t2i": self._process_t2i, "t2t": self._process_text,
+                     "i2t": self._process_text, "i2i": self._process_i2i,
+                     "mcg": self._process_mcg}
+            groups: dict[tuple, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(r.group(self.inf.ddim_steps), []).append(r)
+            for gkey in sorted(groups, key=str):
+                group = groups[gkey]
                 try:
-                    proc(group)
+                    procs[group[0].flow](group)
                 except Exception as e:  # noqa: BLE001 — fail the whole group
                     for r in group:
                         if not r.future.done():
@@ -220,7 +288,8 @@ class BatchingQueue:
 
     def _process_text(self, batch: list[_Request]):
         """One DDIM pass over the text-latent rows of a t2t OR i2t group,
-        then per-request batch-1 GPT-2 decodes (see module docstring)."""
+        then ONE batched GPT-2 decode with per-row key streams (see module
+        docstring)."""
         inf, n = self.inf, len(batch)
         b = self._bucket(n)
         flow = batch[0].flow
@@ -253,6 +322,91 @@ class BatchingQueue:
             {"type": "text" if flow == "t2t" else "image", "conditioning": c,
              "unconditional_conditioning": u,
              "unconditional_guidance_scale": scale})
+        # one batched GPT-2 decode: row i samples from request i's own key
+        # stream (padding rows burn a dummy key; their text is discarded)
+        keys = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(r.seed), 1) for r in batch]
+            + [jax.random.PRNGKey(0)] * (b - n), axis=0)
+        texts_out = inf._decode_texts(x, keys)
         for i, r in enumerate(batch):
-            key = jax.random.fold_in(jax.random.PRNGKey(r.seed), 1)
-            r.future.set_result(inf._decode_texts(x[i:i + 1], key)[0])
+            r.future.set_result(texts_out[i])
+
+    def _process_i2i(self, batch: list[_Request]):
+        """Batched image variation: every request in the group shares the
+        same x0_forward_timesteps (the _Request.group key), so the
+        truncated scan compiles once per (bucket, level) pair. Each row's
+        conditioning/x0 comes from its own input; the q-sample noise is
+        per-row from the request's seed (composition-independent)."""
+        inf, n = self.inf, len(batch)
+        b = self._bucket(n)
+        fwd = batch[0].group(inf.ddim_steps)[1]
+        cis = []
+        for r in batch:
+            ci = inf.sys.ctx_encode(jnp.asarray(r.image), "image")
+            cis.append(inf._focus_filter(ci, r.fcs_lvl))
+        c = jnp.concatenate(cis + [cis[0]] * (b - n), axis=0)
+        u = jnp.zeros_like(c)
+        shape = inf._image_shape(b)
+        row = (1,) + shape[1:]
+        x_info = {"type": "image"}
+        if fwd is not None:
+            x0s = [inf.sys.vae_encode(jnp.asarray(r.image), "image")
+                   for r in batch]
+            x0 = jnp.concatenate(x0s + [x0s[0]] * (b - n), axis=0)
+            noise = jnp.concatenate(
+                [jax.random.normal(jax.random.PRNGKey(r.seed), row,
+                                   inf.sys.dtype) for r in batch]
+                + [jnp.zeros(row, inf.sys.dtype)] * (b - n), axis=0)
+            x_info = {"type": "image", "x0": x0,
+                      "x0_forward_timesteps": fwd, "noise": noise}
+        else:
+            xt = jnp.concatenate(
+                [jax.random.normal(jax.random.PRNGKey(r.seed), row,
+                                   inf.sys.dtype) for r in batch]
+                + [jnp.zeros(row, inf.sys.dtype)] * (b - n), axis=0)
+            x_info = {"type": "image", "xt": xt}
+        x = inf._sample(
+            jax.random.PRNGKey(0), shape, x_info,
+            {"type": "image", "conditioning": c,
+             "unconditional_conditioning": u,
+             "unconditional_guidance_scale": inf.scale_imgto})
+        imgs = np.asarray(inf.sys.vae_decode(x, "image"))
+        from vdtpu.serving.postprocess import color_adjust_simple
+        for i, r in enumerate(batch):
+            out = imgs[i]
+            if r.clr_adj == "Simple":
+                out = np.asarray(color_adjust_simple(
+                    out[None], jnp.asarray(r.image))[0])
+            r.future.set_result(out)
+
+    def _process_mcg(self, batch: list[_Request]):
+        """Batched multi-context guidance (covers dcg/tcg/mcg): every
+        request in the group shares (image count, has-text, textstrength)
+        — the conditioning SHAPE and the batch-level scale/ratio — while
+        per-request strengths/focus/masks live in the conditioning rows.
+        Rows are built by _mcg_context at n=1 and stacked."""
+        inf, n = self.inf, len(batch)
+        b = self._bucket(n)
+        row_infos = [inf._mcg_context(list(r.image_ctxs), r.text,
+                                      r.textstrength, n=1)[1] for r in batch]
+        c_info_list = []
+        for e in range(len(row_infos[0])):
+            rows = [ri[e]["conditioning"] for ri in row_infos]
+            urows = [ri[e]["unconditional_conditioning"] for ri in row_infos]
+            c_info_list.append(dict(
+                row_infos[0][e],
+                conditioning=jnp.concatenate(
+                    rows + [rows[0]] * (b - n), axis=0),
+                unconditional_conditioning=jnp.concatenate(
+                    urows + [urows[0]] * (b - n), axis=0)))
+        shape = inf._image_shape(b)
+        row = (1,) + shape[1:]
+        xt = jnp.concatenate(
+            [jax.random.normal(jax.random.PRNGKey(r.seed), row, inf.sys.dtype)
+             for r in batch]
+            + [jnp.zeros(row, inf.sys.dtype)] * (b - n), axis=0)
+        x = inf._sample_multi(jax.random.PRNGKey(0), shape,
+                              {"type": "image", "xt": xt}, c_info_list)
+        imgs = np.asarray(inf.sys.vae_decode(x, "image"))
+        for i, r in enumerate(batch):
+            r.future.set_result(imgs[i])
