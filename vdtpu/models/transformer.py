@@ -164,8 +164,10 @@ class BasicTransformerBlock(nn.Module):
         tome = get_tome()  # opt-in approximate mode, read at trace time
         if (tome is not None and not self.disable_self_attn
                 and x.shape[1] >= tome.min_tokens):
-            from vdtpu.ops.tome import build_merge
-            merge, unmerge, _ = build_merge(x, tome)
+            # cached_merge: the assignment is computed once per walk per
+            # token count and reused across that level's sites (ops/tome.py)
+            from vdtpu.ops.tome import cached_merge
+            merge, unmerge, _ = cached_merge(x, tome)
             h = merge(ln("norm1")(x).astype(self.dtype))
             x = x + unmerge(attn("attn1")(h))
         else:

@@ -322,8 +322,13 @@ class UNetBase(nn.Module):
 
     def walk(self, x, emb, context, data_host: "UNetBase", ctx_host: "UNetBase"):
         """Full program walk."""
-        h, _ = self._run_tokens(self.program.layer_order, x, [], emb, context,
-                                data_host, ctx_host)
+        from vdtpu.ops import tome
+        tome.begin_walk()  # per-walk merge-assignment reuse (no-op unless on)
+        try:
+            h, _ = self._run_tokens(self.program.layer_order, x, [], emb,
+                                    context, data_host, ctx_host)
+        finally:
+            tome.end_walk()
         return h
 
     def _encoder_counts(self) -> tuple[int, int]:
@@ -334,16 +339,26 @@ class UNetBase(nn.Module):
         """Input-half walk (i_order): returns (h, skip stack) — the state
         reused across adjacent timesteps by the encoder-reuse serving mode
         (Faster Diffusion, arXiv 2312.09608)."""
-        h, hs = self._run_tokens(self.program.i_order, x, [], emb, context,
-                                 data_host, ctx_host)
+        from vdtpu.ops import tome
+        tome.begin_walk()
+        try:
+            h, hs = self._run_tokens(self.program.i_order, x, [], emb,
+                                     context, data_host, ctx_host)
+        finally:
+            tome.end_walk()
         return h, tuple(hs)
 
     def walk_decoder(self, h, hs, emb, context, data_host, ctx_host):
         """Mid + output walk from a (possibly cached) encoder state."""
+        from vdtpu.ops import tome
         di, ci = self._encoder_counts()
-        h, _ = self._run_tokens(self.program.m_order + self.program.o_order,
-                                h, list(hs), emb, context,
-                                data_host, ctx_host, di=di, ci=ci)
+        tome.begin_walk()
+        try:
+            h, _ = self._run_tokens(
+                self.program.m_order + self.program.o_order,
+                h, list(hs), emb, context, data_host, ctx_host, di=di, ci=ci)
+        finally:
+            tome.end_walk()
         return h
 
 

@@ -123,6 +123,18 @@ class MultiDiffuser(nn.Module):
         """Token walk with context mixing at every 'c' slot (the multicontext
         analogue of UNetBase._run_tokens, so the walk can be split at the
         encoder boundary for the encoder-reuse serving mode)."""
+        from vdtpu.ops import tome
+        tome.begin_walk()  # per-(sub)walk ToMe assignment reuse (ops/tome.py)
+        try:
+            return self._mc_run_tokens_inner(
+                tokens, h, hs, emb, contexts, ratios, host, c_types,
+                mixing_type, layer_choices, di, ci)
+        finally:
+            tome.end_walk()
+
+    def _mc_run_tokens_inner(self, tokens, h, hs, emb, contexts, ratios,
+                             host, c_types, mixing_type, layer_choices,
+                             di=0, ci=0):
         r = jnp.asarray(ratios, dtype=jnp.float32)
         r = r / jnp.sum(r)
         hs = list(hs)

@@ -85,6 +85,48 @@ def get_tome() -> ToMeSpec | None:
     return _TOME
 
 
+# ---- per-walk merge-assignment cache -------------------------------------
+#
+# ToMe-SD recomputes the merge at every block — a GPU habit, not a
+# requirement: within one UNet call the token features at a resolution
+# level change little between adjacent self-attention sites, while the
+# assignment computation itself (f32 normalize + [B, Ns, Nd] score matmul +
+# argsort + scatter index builds) costs a large share of the attention
+# savings (VERDICT r3: +3.2% e2e for per-site recompute). With the cache,
+# the FIRST eligible site of a walk computes the assignment and every later
+# same-token-count site reuses it (amortizing ~5 sites at the 64x64 level
+# into one). Trace-local by construction: UNetBase.walk/walk_encoder/
+# walk_decoder bracket the walk with begin_walk/end_walk, so cached tracers
+# never outlive the trace that made them; paths that don't bracket (legacy
+# zoo) see None and fall back to per-site recompute.
+
+_MERGE_CACHE: dict | None = None
+
+
+def begin_walk():
+    global _MERGE_CACHE
+    if _TOME is not None:
+        _MERGE_CACHE = {}
+
+
+def end_walk():
+    global _MERGE_CACHE
+    _MERGE_CACHE = None
+
+
+def cached_merge(x, spec: "ToMeSpec"):
+    """build_merge with per-walk reuse: one assignment per (tokens, batch).
+    Outside a bracketed walk this is exactly build_merge."""
+    if _MERGE_CACHE is None:
+        return build_merge(x, spec)
+    key = (x.shape[0], x.shape[1], spec)
+    ent = _MERGE_CACHE.get(key)
+    if ent is None:
+        ent = build_merge(x, spec)
+        _MERGE_CACHE[key] = ent
+    return ent
+
+
 def _partition(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Static (dst_idx, src_idx) for an n-token site.
 
