@@ -19,12 +19,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def fill_params(model, seed: int = 0, scale: float = 0.02):
-    """Random bf16 diffuser params via eval_shape + per-leaf on-device fill.
+def fill_params(model, seed: int = 0, scale: float = 0.02, chunk: int = 256):
+    """Random bf16 diffuser params via eval_shape + CHUNKED jitted fill.
 
-    Timing is weight-value independent; this beats both the full-init
-    compile (~2 min) and a fused fill graph (8 min AOT) through the tunnel
-    (bench.py methodology)."""
+    Timing is weight-value independent. The fill is dispatch-bound through
+    the tunnel (~25 ms/leaf x ~4k leaves = ~100 s per-leaf, bench r3);
+    grouping leaves into a few jitted graphs cuts that to ~16 dispatches,
+    and the chunk HLO is stable across runs so warm boots hit the
+    persistent compilation cache. Values are IDENTICAL to the historical
+    per-leaf fill (same fold_in(key, global_leaf_index) stream), so
+    round-over-round bench numbers stay comparable."""
     import jax
     import jax.numpy as jnp
     t0 = time.perf_counter()
@@ -32,12 +36,20 @@ def fill_params(model, seed: int = 0, scale: float = 0.02):
                             jax.random.PRNGKey(seed))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     key = jax.random.PRNGKey(seed)
-    params = treedef.unflatten([
-        jax.random.normal(jax.random.fold_in(key, i), l.shape,
-                          jnp.bfloat16) * scale
-        for i, l in enumerate(leaves)])
+    out = []
+    for c0 in range(0, len(leaves), max(chunk, 1)):
+        sub = leaves[c0:c0 + chunk]
+
+        def fill(k, _c0=c0, _sub=sub):
+            return [jax.random.normal(jax.random.fold_in(k, _c0 + j),
+                                      l.shape, jnp.bfloat16) * scale
+                    for j, l in enumerate(_sub)]
+
+        out.extend(jax.jit(fill)(key))
+    params = treedef.unflatten(out)
     jax.block_until_ready(params)
-    log(f"diffuser params {time.perf_counter() - t0:.1f}s")
+    log(f"diffuser params {time.perf_counter() - t0:.1f}s "
+        f"({len(leaves)} leaves, chunk {chunk})")
     return params
 
 

@@ -31,7 +31,60 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def surrogate_params(model_f, dtype):
+    """Structure-preserving surrogate diffuser weights (VERDICT r3 task 7).
+
+    Builds the REFERENCE torch modules at full size under their OWN
+    per-layer init distributions (openaimodel.py zero_module outputs
+    derandomized — tests/_reference.derandomize_zeros), exports the torch
+    state_dict through the production converter, and returns the flax tree.
+    Unlike the uniform 0.02-std fill, every layer carries the reference's
+    init statistics (fan-in-scaled convs, zeros->small-normal output convs,
+    per-module gains), which tightens the encoder-reuse quality rows: a
+    uniform-fill UNet's encoder features drift less across timesteps than a
+    structured one's (PERF.md caveat)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from _reference import derandomize_zeros, ref_module
+    from test_fullsize_parity import FULL_0D, FULL_2D
+
+    from vdtpu.interop.torch_convert import torch_to_flax
+
+    om = ref_module("lib.model_zoo.openaimodel")
+    tmpl = jax.eval_shape(lambda k: model_f.init_params(k, jit=False),
+                          jax.random.PRNGKey(0))
+    out = {}
+    for name, ctor, cfg in (("image", om.UNetModel2D_Next, FULL_2D),
+                            ("text", om.UNetModel0D_Next, FULL_0D)):
+        t0 = time.perf_counter()
+        torch.manual_seed(0)
+        tm = derandomize_zeros(ctor(**cfg).eval())
+        p, missing = torch_to_flax(tm.state_dict(), tmpl[name])
+        assert not missing, missing[:5]
+        del tm
+        gc.collect()
+        out[name] = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).astype(dtype), p)
+        log(f"surrogate {name} diffuser {time.perf_counter() - t0:.1f}s")
+    import jax as _jax
+    _jax.block_until_ready(out)
+    return out
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--surrogate", action="store_true",
+                    help="torch-reference-initialized surrogate weights "
+                         "instead of the uniform random fill")
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/vdtpu-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -53,7 +106,8 @@ def main():
     from _common import fill_params
     quant.set_policy(None)
     model_f = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
-    params = fill_params(model_f)
+    params = surrogate_params(model_f, dtype) if args.surrogate \
+        else fill_params(model_f)
     key = jax.random.PRNGKey(0)
 
     # ---- realistic conditioning: CLIP text encoding of random token ids ----
@@ -260,7 +314,9 @@ def main():
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
         return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
-    out = {"steps": steps, "batch": n, "conditioning": "clip_random_ids"}
+    out = {"steps": steps, "batch": n, "conditioning": "clip_random_ids",
+           "weights": "surrogate_torch_init" if args.surrogate
+           else "random_fill"}
     # per-step trajectory divergence for int8 (the headline path)
     step_cos = [cos(traj_ref[s], traj_q[s]) for s in range(steps)]
     step_mse = [float(((traj_ref[s] - traj_q[s]) ** 2).mean()) for s in range(steps)]

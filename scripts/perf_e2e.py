@@ -39,6 +39,10 @@ def main():
                          "CFG (half-batch UNet outside the band)")
     ap.add_argument("--scan-only", action="store_true",
                     help="time the bare CFG UNet scan (no decode) too")
+    ap.add_argument("--tome", type=float, default=0.0,
+                    help="token-merging ratio (opt-in approximate mode)")
+    ap.add_argument("--tome-min", type=int, default=4096,
+                    help="minimum site token count for merging")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +60,10 @@ def main():
     from _common import calibrate_int8, clip_conditioning, fill_params
 
     opts = dict(kv.split("=", 1) for kv in args.xla.split(",") if kv)
+
+    if args.tome:
+        from vdtpu.ops.tome import ToMeSpec, set_tome
+        set_tome(ToMeSpec(ratio=args.tome, min_tokens=args.tome_min))
 
     dtype = jnp.bfloat16
     n = args.batch
@@ -159,6 +167,7 @@ def main():
         "tag": args.tag, "batch": n, "policy": args.policy, "xla": args.xla,
         "sampler": args.sampler, "steps": args.steps,
         "cfg_interval": args.cfg_interval, "encreuse": args.encreuse,
+        "tome": args.tome, "tome_min": args.tome_min,
         "median_s": round(med, 4), "images_per_sec": round(n / med, 4),
         "compile_s": round(compile_s, 1),
         "runs": [round(t, 4) for t in times],

@@ -72,18 +72,30 @@ class CachedCompile:
             return None
         p = _path(self._key)
         if not os.path.exists(p):
+            if os.environ.get("VDTPU_AOT_DEBUG"):
+                print(f"[aot] MISS {self._key} ({os.path.basename(p)})",
+                      file=__import__('sys').stderr, flush=True)
             return None
         try:
+            import time as _time
+            t0 = _time.perf_counter()
             with open(p, "rb") as f:
                 payload, in_tree, out_tree, dev_ids = pickle.load(f)
+            t1 = _time.perf_counter()
             from jax.experimental.serialize_executable import deserialize_and_load
             # rebind to the same device ids: deserialize defaults to ALL
             # local devices, which breaks 1-device executables on virtual
             # multi-device hosts
             by_id = {dev.id: dev for dev in jax.devices()}
             devs = [by_id[i] for i in dev_ids] if dev_ids else None
-            return deserialize_and_load(payload, in_tree, out_tree,
-                                        execution_devices=devs)
+            exe = deserialize_and_load(payload, in_tree, out_tree,
+                                       execution_devices=devs)
+            if os.environ.get("VDTPU_AOT_DEBUG"):
+                print(f"[aot] HIT {self._key}: read {t1 - t0:.1f}s "
+                      f"({os.path.getsize(p) >> 20} MiB), deserialize "
+                      f"{_time.perf_counter() - t1:.1f}s",
+                      file=__import__('sys').stderr, flush=True)
+            return exe
         except Exception:
             return None  # stale/corrupt/foreign-topology: recompile below
 
