@@ -300,15 +300,16 @@ def main():
     # self-attention sites run on half the tokens. Read at trace time, so
     # the flag wraps exactly the jit built inside run_exact.
     from vdtpu.ops.tome import set_tome
-    t0 = time.perf_counter()
-    set_tome(0.5)
-    try:
-        x_tm, _ = run_exact(model_q, pq)
-    finally:
-        set_tome(None)
-    variants["int8+tome0.5"] = (
-        x_tm, np.asarray(decode(jnp.asarray(x_tm)), np.float32))
-    log(f"tome0.5 {time.perf_counter() - t0:.1f}s")
+    for ratio in (0.5, 0.75):
+        t0 = time.perf_counter()
+        set_tome(ratio)
+        try:
+            x_tm, _ = run_exact(model_q, pq)
+        finally:
+            set_tome(None)
+        variants[f"int8+tome{ratio}"] = (
+            x_tm, np.asarray(decode(jnp.asarray(x_tm)), np.float32))
+        log(f"tome{ratio} {time.perf_counter() - t0:.1f}s")
 
     def cos(a, b):
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)

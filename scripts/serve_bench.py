@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--config", default="vd_four_flow_v1-0")
     ap.add_argument("--latent-downsample", type=int, default=8)
     ap.add_argument("--image-latent-dim", type=int, default=4)
+    ap.add_argument("--flows", default="t2i", choices=["t2i", "mixed"],
+                    help="mixed: Poisson mix of t2i (60%%), i2i fid .5 "
+                         "(20%%) and dcg (20%%) requests — every group "
+                         "batches through its own bucket family "
+                         "(serving/queue.py groups)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +98,12 @@ def main():
         lambda k: sysm.ctx["text"].init(
             k, jnp.zeros((1, sysm.ctx["text"].max_len), jnp.int32))["params"],
         key), jax.random.fold_in(key, 2))
+    if args.flows == "mixed":  # i2i/dcg condition on CLIP-vision encodings
+        sz = sysm.ctx["image"].image_size
+        sysm.params["ctx"]["image"] = fill(jax.eval_shape(
+            lambda k: sysm.ctx["image"].init(
+                k, jnp.zeros((1, sz, sz, 3)))["params"],
+            key), jax.random.fold_in(key, 3))
     jax.block_until_ready(sysm.params["diffuser"])
     log(f"params {time.perf_counter() - t0:.1f}s")
 
@@ -113,22 +124,44 @@ def main():
                       latent_downsample=args.latent_downsample)
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
-    # ---- warm-up: compile every bucket executable once ----
+    h = w = args.size
+    imgs = [np.random.RandomState(7 + i).rand(1, h, w, 3).astype(np.float32)
+            for i in range(4)]
+
+    def submit_one(q, i: int):
+        """Submit request i under the configured flow mix; returns
+        (flow_label, future). The mixed split is deterministic in i so
+        every rate sweeps the same workload."""
+        if args.flows == "t2i" or i % 5 < 3:          # 60%
+            return "t2i", q.submit(prompts[i % len(prompts)], i)
+        if i % 5 == 3:                                 # 20%
+            return "i2i", q.submit_i2i(imgs[i % len(imgs)], 0.5, 0.5,
+                                       None, seed=i)
+        return "dcg", q.submit_dcg(imgs[i % len(imgs)], 0.5,      # 20%
+                                   prompts[i % len(prompts)], 0.5, seed=i)
+
+    prompts = [f"a photo of scene number {i}" for i in range(512)]
+
+    # ---- warm-up: compile every (bucket, flow-family) executable once ----
     t0 = time.perf_counter()
     with BatchingQueue(inf, buckets=buckets, max_wait_ms=5.0) as q:
         for b in buckets:
             futs = [q.submit(f"warm {b} {i}", i) for i in range(b)]
+            if args.flows == "mixed":
+                futs += [q.submit_i2i(imgs[0], 0.5, 0.5, None, seed=i)
+                         for i in range(b)]
+                futs += [q.submit_dcg(imgs[0], 0.5, "warm", 0.5, seed=i)
+                         for i in range(b)]
             for f in futs:
                 f.result(timeout=3600)
             log(f"bucket {b} warm {time.perf_counter() - t0:.1f}s")
 
-    prompts = [f"a photo of scene number {i}" for i in range(512)]
-
     for rate in (float(r) for r in args.rates.split(",")):
         lat, done_t = [], []
+        flow_lat: dict[str, list] = {}
         rec_lock = threading.Lock()
 
-        def record(t_sub, fut):
+        def record(t_sub, flow, fut):
             # done-callback stamps completion exactly (the submit loop only
             # wakes between Poisson sleeps — polling there would inflate
             # latency by up to one inter-arrival gap)
@@ -137,6 +170,7 @@ def main():
             with rec_lock:
                 lat.append(now - t_sub)
                 done_t.append(now)
+                flow_lat.setdefault(flow, []).append(now - t_sub)
 
         stop_at = time.monotonic() + args.seconds
         rs = np.random.RandomState(42)
@@ -146,9 +180,9 @@ def main():
             i = 0
             while time.monotonic() < stop_at:
                 t_sub = time.monotonic()
-                fut = q.submit(prompts[i % len(prompts)], i)
+                flow, fut = submit_one(q, i)
                 fut.add_done_callback(
-                    lambda f, ts=t_sub: record(ts, f))
+                    lambda f, ts=t_sub, fl=flow: record(ts, fl, f))
                 pending.append(fut)
                 i += 1
                 time.sleep(rs.exponential(1.0 / rate))
@@ -157,7 +191,7 @@ def main():
         # close() drained the queue; callbacks ran on the worker thread
         lat_s = sorted(lat)
         span = (max(done_t) - min(done_t)) if len(done_t) > 1 else 1.0
-        print(json.dumps({
+        row = {
             "rate_rps": rate, "requests": len(lat),
             "throughput_rps": round((len(lat) - 1) / span, 3),
             "p50_s": round(lat_s[len(lat_s) // 2], 3),
@@ -165,7 +199,14 @@ def main():
             "max_s": round(lat_s[-1], 3),
             "policy": args.policy, "buckets": list(buckets),
             "deadline_ms": args.deadline_ms, "steps": args.steps,
-        }), flush=True)
+            "flows": args.flows,
+        }
+        if args.flows == "mixed":
+            for fl, ls in sorted(flow_lat.items()):
+                ls = sorted(ls)
+                row[f"{fl}_requests"] = len(ls)
+                row[f"{fl}_p50_s"] = round(ls[len(ls) // 2], 3)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
