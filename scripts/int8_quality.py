@@ -31,6 +31,52 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _flatten(tree, prefix=""):
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _flatten(v, p)
+        else:
+            yield p, v
+
+
+def _unflatten(flat):
+    out = {}
+    for path, v in flat.items():
+        node, keys = out, path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return out
+
+
+def surrogate_params_cached(model_f, dtype, cache):
+    """Disk-cache the surrogate tree (the torch rebuild+convert costs
+    ~1000 s); bf16 arrays ride npz as uint16 views."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    if cache and os.path.exists(cache):
+        t0 = time.perf_counter()
+        with np.load(cache) as z:
+            flat = {k: jnp.asarray(z[k].view(ml_dtypes.bfloat16)
+                                   if z[k].dtype == np.uint16 else z[k])
+                    for k in z.files}
+        out = _unflatten(flat)
+        log(f"surrogate cache hit {cache} ({time.perf_counter() - t0:.1f}s)")
+        return out
+    out = surrogate_params(model_f, dtype)
+    if cache:
+        t0 = time.perf_counter()
+        flat = {}
+        for k, v in _flatten(out):
+            a = np.asarray(v)
+            flat[k] = a.view(np.uint16) if a.dtype == ml_dtypes.bfloat16 else a
+        np.savez(cache, **flat)
+        log(f"surrogate cache saved {cache} ({time.perf_counter() - t0:.1f}s)")
+    return out
+
+
 def surrogate_params(model_f, dtype):
     """Structure-preserving surrogate diffuser weights (VERDICT r3 task 7).
 
@@ -83,6 +129,13 @@ def main():
     ap.add_argument("--surrogate", action="store_true",
                     help="torch-reference-initialized surrogate weights "
                          "instead of the uniform random fill")
+    ap.add_argument("--surrogate-cache", default="",
+                    help="npz path caching the surrogate tree across runs")
+    ap.add_argument("--clip-sweep", default="",
+                    help="comma list of VDTPU_INT8_CLIP modes (e.g. "
+                         "'q99.9,q99.99,sigma4'): recalibrate per mode and "
+                         "report exact-path divergence only, skipping the "
+                         "approximate-mode ladder")
     args = ap.parse_args()
 
     import jax
@@ -106,8 +159,8 @@ def main():
     from _common import fill_params
     quant.set_policy(None)
     model_f = VDModel.from_config(cfgm, dtype=dtype, use_checkpoint=False)
-    params = surrogate_params(model_f, dtype) if args.surrogate \
-        else fill_params(model_f)
+    params = surrogate_params_cached(model_f, dtype, args.surrogate_cache) \
+        if args.surrogate else fill_params(model_f)
     key = jax.random.PRNGKey(0)
 
     # ---- realistic conditioning: CLIP text encoding of random token ids ----
@@ -190,6 +243,70 @@ def main():
                               (2 * n, 64, 64, 4), dtype),
             jnp.full((2 * n,), tt, jnp.int32),
             jnp.concatenate([uncond, cond], 0), "image", "text"))
+
+    if args.clip_sweep:
+        # Exact-path divergence per calibration statistic. One jitted scan,
+        # scales are runtime args — only calibrate() re-runs per mode.
+        @jax.jit
+        def f_exact(p, cond, uncond, key):
+            eps = cfg_eps_fn(
+                lambda x, t, c: model_q.apply_model(p, x, t, c,
+                                                    "image", "text"),
+                cond, uncond, 7.5)
+            x = jax.random.normal(key, (n, 64, 64, 4), dtype)
+            return ddim_scan(eps, x, key, tables, return_intermediates=True)
+
+        def cos(a, b):
+            a = a.ravel().astype(np.float64)
+            b = b.ravel().astype(np.float64)
+            return float((a * b).sum() /
+                         (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+        rows, base_scales = {}, None
+        for mode in ["none"] + args.clip_sweep.split(","):
+            t0 = time.perf_counter()
+            os.environ["VDTPU_INT8_CLIP"] = "" if mode == "none" else mode
+            try:
+                scales = quant.calibrate(model_q, params, flows)
+            finally:
+                os.environ.pop("VDTPU_INT8_CLIP", None)
+            model_q.quant_scales = None
+            acts = {jax.tree_util.keystr(p): float(l) for p, l in
+                    jax.tree_util.tree_leaves_with_path(scales)
+                    if "act_scale" in jax.tree_util.keystr(p)}
+            if base_scales is None:
+                base_scales = acts
+            shrink = float(np.median([acts[k] / base_scales[k]
+                                      for k in base_scales]))
+            x_m, inter = f_exact({"params": params, "quant": scales},
+                                 cond, uncond, skey)
+            x_m = np.asarray(x_m, np.float32)
+            traj_m = np.asarray(inter["pred_xt"], np.float32)
+            img_m = np.asarray(decode(jnp.asarray(x_m)), np.float32)
+            rng_ = img_ref.max() - img_ref.min() + 1e-9
+            mse = ((img_m - img_ref) ** 2).mean()
+            rows[mode] = {
+                "median_scale_ratio": round(shrink, 4),
+                "step1_cos": round(cos(traj_ref[0], traj_m[0]), 6),
+                "final_latent_cos": round(cos(x_ref, x_m), 5),
+                "final_latent_rel_err": round(float(
+                    np.abs(x_m - x_ref).mean()
+                    / (np.abs(x_ref).mean() + 1e-9)), 5),
+                "decoded_mae": round(float(np.abs(img_m - img_ref).mean()), 5),
+                "decoded_psnr_db": round(
+                    float(10 * np.log10(rng_ ** 2 / max(mse, 1e-12))), 2),
+            }
+            log(f"clip={mode} {time.perf_counter() - t0:.1f}s -> {rows[mode]}")
+        print(json.dumps({
+            "clip_sweep": rows, "steps": steps, "batch": n,
+            "weights": "surrogate_torch_init" if args.surrogate
+            else "random_fill"}), flush=True)
+        for mode, r in rows.items():
+            print(f"| {mode} | {r['median_scale_ratio']} | {r['step1_cos']} "
+                  f"| {r['final_latent_cos']} | {r['decoded_mae']} "
+                  f"| {r['decoded_psnr_db']} |", flush=True)
+        return
+
     scales = quant.calibrate(model_q, params, flows)
     model_q.quant_scales = None
     pq = {"params": params, "quant": scales}

@@ -181,3 +181,45 @@ def test_quant_primitives_roundtrip():
     # zero tensors don't divide by zero
     zq, zs = _quantize_weight(jnp.zeros((3, 3, 4, 4)), (0, 1, 2))
     assert np.all(np.asarray(zq) == 0) and np.isfinite(float(zs.max()))
+
+
+@pytest.mark.parametrize("mode", ["q99.9", "sigma4"])
+def test_clipped_calibration_scales(monkeypatch, mode):
+    """VDTPU_INT8_CLIP swaps the calibration statistic (quantile / k-sigma
+    clip) for the absmax. Scales must shrink (or match) per site, nothing
+    downstream changes shape, and held-out fidelity holds — saturation of
+    the clipped tail must not break the eps cosine gate."""
+    m_f, m_q = _models()
+    quant.set_policy(None)
+    params = _fill_zero_leaves(m_f.init_params(jax.random.PRNGKey(0)),
+                               jax.random.PRNGKey(7))
+    mk = lambda seed: (
+        jnp.asarray(np.random.RandomState(seed).randn(2, 8, 8, 4)
+                    .astype(np.float32)),
+        jnp.asarray([seed % 100, (seed * 7) % 100]),
+        jnp.asarray(np.random.RandomState(seed + 1).randn(2, 7, 16)
+                    .astype(np.float32)))
+    flows = [(x, t, ctx, "image", "text") for x, t, ctx in map(mk, (0, 10, 20))]
+
+    quant.set_policy("int8")
+    base = quant.calibrate(m_q, params, flows)
+    monkeypatch.setenv("VDTPU_INT8_CLIP", mode)
+    clipped = quant.calibrate(m_q, params, flows)
+
+    kp = jax.tree_util.tree_leaves_with_path
+    b = {jax.tree_util.keystr(p): float(l) for p, l in kp(base)
+         if "act_scale" in jax.tree_util.keystr(p)}
+    c = {jax.tree_util.keystr(p): float(l) for p, l in kp(clipped)
+         if "act_scale" in jax.tree_util.keystr(p)}
+    assert set(b) == set(c) and len(b) > 10
+    assert all(c[k] <= b[k] * (1 + 1e-6) for k in b)
+    assert any(c[k] < b[k] * 0.999 for k in b), "clip changed nothing"
+
+    x, t, ctx = mk(30)
+    ref = np.asarray(m_f.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    out = np.asarray(m_q.apply_model(params, x, t, ctx, "image", "text"),
+                     np.float64)
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.99, (mode, cos)
+    m_q.quant_scales = None

@@ -147,14 +147,35 @@ def _quantize_act(x, s=None):
     return xq, s
 
 
+def _calib_stat(x):
+    """Per-site activation statistic sow'd during calibration.
+
+    Default is the plain absmax (full-range symmetric int8). VDTPU_INT8_CLIP
+    selects a robust alternative so rare outliers stop dilating the scale
+    (everything past 127*scale saturates at the clip point instead):
+      - "q<p>"     per-batch |x| quantile, e.g. q99.9 (max across batches);
+      - "sigma<k>" min(absmax, k * rms) — cheap Gaussian-tail clip.
+    The statistic feeds the SAME 'act_absmax' sow key, so _to_scales, the
+    weight-table pass and every serving executable are untouched — scales
+    are runtime args to the cached jits. Read at calibration trace time
+    (calibrate() builds fresh jits per call)."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    mode = os.environ.get("VDTPU_INT8_CLIP", "")
+    if mode.startswith("q"):
+        return jnp.quantile(ax.reshape(-1), float(mode[1:]) / 100.0)
+    if mode.startswith("sigma"):
+        rms = jnp.sqrt(jnp.mean(jnp.square(ax)))
+        return jnp.minimum(jnp.max(ax), float(mode[5:]) * rms)
+    return jnp.max(ax)
+
+
 class _QBase(nn.Module):
     """Shared activation-scale logic: calibration sow + static-scale read."""
 
     def _act(self, x):
         if get_policy() == "int8_calib":
-            # record the running absmax for this call site
-            self.sow("quant_calib", "act_absmax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+            # record the running absmax (or clipped stat) for this call site
+            self.sow("quant_calib", "act_absmax", _calib_stat(x),
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.float32(0.0))
             return _quantize_act(x)
@@ -243,8 +264,7 @@ def fused_proj(owner: nn.Module, x, kernels, dtype, suffix: str = ""):
         return [xc @ w.astype(dtype) for w in kernels]
     nbatch = x.ndim - 1
     if pol == "int8_calib":
-        owner.sow("quant_calib", "act_absmax" + suffix,
-                  jnp.max(jnp.abs(x.astype(jnp.float32))),
+        owner.sow("quant_calib", "act_absmax" + suffix, _calib_stat(x),
                   reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
         xq, s_x = _quantize_act(x)
         tables = [_quantize_weight(w, (0,)) for w in kernels]
