@@ -73,7 +73,24 @@ def test_runtime_error_propagates_without_recompile(tmp_path, monkeypatch):
     assert compiles["n"] == 0  # no silent recompile cycle
 
 
-def test_sampler_uses_aot_cache(tmp_path, monkeypatch):
+@pytest.fixture
+def fresh_hlo_cache(tmp_path):
+    """Isolate the persistent HLO cache for serialize-roundtrip tests.
+
+    XLA:CPU quirk (virtual-CPU suite only): serializing an executable that
+    was itself LOADED from the persistent compilation cache produces a
+    payload whose deserialized program can fail at readback ("Buffer
+    Definition Event: Function ... not found") when bound to a device
+    subset. A fresh cache dir makes every compile genuine, so the
+    serialize source is always a real compile. The chip backend (1
+    device, TPU loader) does not have this path."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "hlo"))
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_sampler_uses_aot_cache(tmp_path, monkeypatch, fresh_hlo_cache):
     monkeypatch.setenv("VDTPU_AOT_CACHE", str(tmp_path))
     from vdtpu.ops.schedules import DiffusionSchedule
     from vdtpu.sampling.ddim import DDIMSampler
@@ -99,3 +116,34 @@ def test_sampler_uses_aot_cache(tmp_path, monkeypatch):
     from vdtpu.serving.aot import CachedCompile
     fn = next(iter(s2._jit_cache.values()))
     assert isinstance(fn, CachedCompile)
+
+
+def test_warm_loads_and_executes_without_real_args(tmp_path, monkeypatch,
+                                                   fresh_hlo_cache):
+    """warm() pays the program-load tax from the cached artifact alone:
+    it builds zero args from the executable's own args_info (no real
+    params needed), so a serving boot can warm in a background thread
+    while param fill / calibration run (VERDICT r4 task 2)."""
+    monkeypatch.setenv("VDTPU_AOT_CACHE", str(tmp_path))
+    from vdtpu.serving import aot
+
+    # populate the cache
+    f = lambda p, x: (p["w"] * x).sum() + p["b"]
+    cc = aot.CachedCompile(f, key="kwarm")
+    args = ({"w": jnp.full((4, 4), 2.0), "b": jnp.float32(1.0)},
+            jnp.ones((4, 4)))
+    np.testing.assert_allclose(float(cc(*args)), 33.0)
+
+    # fresh instance with NO compile fn: warm() must load + execute
+    cc2 = aot.CachedCompile(None, key="kwarm")
+    assert cc2.warm() is True
+    assert cc2._compiled is not None
+    # real call afterwards works and needs no compile
+    compiles = {"n": 0}
+    cc2._compile = lambda a: compiles.update(n=compiles["n"] + 1)
+    np.testing.assert_allclose(float(cc2(*args)), 33.0)
+    assert compiles["n"] == 0
+
+    # cache miss: warm() is a harmless no-op returning False
+    cc3 = aot.CachedCompile(None, key="knever-compiled")
+    assert cc3.warm() is False

@@ -107,8 +107,14 @@ class CachedCompile:
             from jax.experimental.serialize_executable import serialize
             payload, in_tree, out_tree = serialize(compiled)
             try:
-                sh = compiled.input_shardings[0]
-                dev_ids = sorted(dev.id for dev in sh[0].device_set) if sh \
+                # first LEAF sharding: input_shardings[0] mirrors the arg
+                # pytree, so its [0] element can be a dict (params trees) —
+                # indexing it directly raised and stored dev_ids=None, which
+                # made deserialize bind ALL local devices on virtual
+                # multi-device hosts (the executable then demands N-sharded
+                # args and no longer accepts single-device arrays)
+                shards = jax.tree_util.tree_leaves(compiled.input_shardings[0])
+                dev_ids = sorted(d.id for d in shards[0].device_set) if shards \
                     else [jax.devices()[0].id]
             except Exception:
                 dev_ids = None
@@ -155,6 +161,56 @@ class CachedCompile:
         if isinstance(e, TypeError):
             return "compiled" in str(e)
         return "INVALID_ARGUMENT" in str(e)
+
+    def warm(self) -> bool:
+        """Pay the one-time program-load tax ahead of traffic.
+
+        Loads the cached executable (if present) and executes it ONCE on
+        all-zero arguments constructed from its own ``args_info`` — no real
+        params/conditioning needed, so a serving boot can run this in a
+        background thread WHILE the param fill / int8 calibration / VAE
+        init proceed (VERDICT r4 task 2: overlap ``latency_exe_warmup``
+        with the dispatch-bound init phases). Outputs are discarded; safe
+        for any pure jitted fn. Returns False on a cache miss (cold boot:
+        nothing to warm — the normal compile path pays load implicitly)."""
+        with self._lock:
+            if self._compiled is None:
+                self._compiled = self._try_load()
+        if self._compiled is None:
+            return False
+        try:
+            import jax.numpy as jnp
+            info = self._compiled.args_info  # ((arg0_tree, ...), kwargs)
+            leaves_i, treedef = jax.tree_util.tree_flatten(info)
+            shapes = [(tuple(i.shape), i.dtype) for i in leaves_i]
+            # one jitted graph creates every dummy leaf on-device (per-leaf
+            # eager zeros would be dispatch-bound through the tunnel)
+            leaves = jax.jit(lambda: [jnp.zeros(s, d) for s, d in shapes])()
+            try:
+                args, kwargs = jax.tree_util.tree_unflatten(treedef, leaves)
+                out = self._compiled(*args, **kwargs)
+            except (TypeError, ValueError, jax.errors.JaxRuntimeError):
+                # a deserialized executable can bind MORE devices than its
+                # sharding metadata claims (virtual multi-device hosts) and
+                # then rejects committed single-device arrays instead of
+                # resharding them. Eager zeros are UNCOMMITTED — jax
+                # reshards those to whatever the runtime expects (the same
+                # reason real request arrays work). Dispatch-bound, but
+                # this path never triggers on a 1-device chip.
+                leaves = [jnp.zeros(s, d) for s, d in shapes]
+                args, kwargs = jax.tree_util.tree_unflatten(treedef, leaves)
+                out = self._compiled(*args, **kwargs)
+            jax.block_until_ready(out)
+            # leave _validated False: the first REAL call still runs the
+            # aval precheck, so a stale cached signature recompiles there
+            return True
+        except Exception:
+            # a warm failure must never break boot: the real first call
+            # below recompiles/validates as usual
+            if os.environ.get("VDTPU_AOT_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            return False
 
     def __call__(self, *args):
         if self._compiled is None:

@@ -26,6 +26,23 @@ from vdtpu.sampling.ddim import DDIMSampler
 from vdtpu.serving.postprocess import AdjustRank, color_adjust_simple, remove_duplicate_word
 
 
+def regularize_image(x, hw, method: str = "bicubic"):
+    """Resize a [B,H,W,C] float batch to ``hw`` = (H, W).
+
+    Input regularization: the reference bicubic-resizes every uploaded
+    image to ``output_dim`` at the top of each image flow (app.py:329-330
+    i2i, :392 i2t, :460 dcg, :534 mcg) and bilinear-resizes masks
+    (app.py:536). No-op when already at ``hw``. Bicubic output is clamped
+    to [0, 1] because PIL's uint8 resample saturates where the kernel
+    overshoots."""
+    x = jnp.asarray(x)
+    h, w = int(hw[0]), int(hw[1])
+    if x.shape[1:3] == (h, w):
+        return x
+    out = jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method)
+    return jnp.clip(out, 0.0, 1.0) if method == "bicubic" else out
+
+
 def vd_inference(which: str = "v1.0", fp16: bool = False,
                  checkpoint: str | None = None, **kw) -> "VDInference":
     """Drop-in for the reference constructor (`app.py:244-298`):
@@ -405,6 +422,10 @@ class VDInference:
         f = self.latent_downsample
         return (n, h // f, w // f, self.image_latent_dim)
 
+    def _regularize(self, image, method: str = "bicubic"):
+        """Input regularization to output_dim (reference app.py:329-330)."""
+        return regularize_image(image, self.output_dim, method)
+
     def _shard_batch(self, c_info):
         if self.mesh is None:
             return c_info
@@ -452,9 +473,11 @@ class VDInference:
 
     def inference_i2i(self, image, fid_lvl: float, fcs_lvl: float,
                       clr_adj: str | None, seed: int):
-        """image: [1,H,W,3] float [0,1] NHWC (app.py:322-382)."""
+        """image: [1,H,W,3] float [0,1] NHWC, any H,W — bicubic-resized to
+        output_dim first (app.py:322-382; resize precedes the fid_lvl=1
+        short-circuit, so that path returns the RESIZED image)."""
         n = self.n_sample_image
-        cx = jnp.asarray(image)
+        cx = self._regularize(image)
         if fid_lvl == 1:
             return jnp.tile(cx, (n, 1, 1, 1))
         ci = self.sys.ctx_encode(cx, "image")
@@ -477,7 +500,7 @@ class VDInference:
 
     def inference_i2t(self, image, seed: int):
         n = self.n_sample_text
-        cx = jnp.asarray(image)
+        cx = self._regularize(image)  # app.py:392 (bicubic to output_dim)
         c = jnp.tile(self.sys.ctx_encode(cx, "image"), (n, 1, 1))
         u = jnp.tile(self.sys.ctx_encode(jnp.zeros_like(cx), "image"), (n, 1, 1))
         key = jax.random.PRNGKey(seed)
@@ -542,10 +565,11 @@ class VDInference:
         for ctx in image_ctxs:
             if ctx is None or ctx.get("image") is None:
                 continue
-            cx = jnp.asarray(ctx["image"])
+            cx = self._regularize(ctx["image"])  # app.py:534/:460 bicubic
             mask = ctx.get("mask")
             if mask is not None:
-                m = 1.0 - jnp.asarray(mask)
+                # masks ride bilinear to output_dim (app.py:536)
+                m = 1.0 - self._regularize(jnp.asarray(mask), "bilinear")
                 inputs_shown.append(cx * m)
                 ci = self.sys.ctx_encode(cx, "image", masks=m)
             else:

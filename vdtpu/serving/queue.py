@@ -55,6 +55,13 @@ ALL SEVEN flows batch (ref signatures app.py:300-579):
   scale/ratio must match across rows; per-request strengths, focus
   levels and masks ride in the conditioning VALUES, which are per-row.
   Conditioning rows come from VDInference._mcg_context at n=1 and stack.
+
+Image inputs of ANY size are accepted: submit_* regularizes them to
+``inference.output_dim`` at enqueue time (bicubic, the reference's
+app.py:329-330 behavior, via serving.api.regularize_image), so every row
+in a group shares H,W and one odd-sized upload can never fail its group.
+VDInference regularizes again internally (idempotent) — batched == solo
+holds by construction.
 """
 from __future__ import annotations
 
@@ -132,17 +139,25 @@ class BatchingQueue:
         """Text variation; Future resolves to one string."""
         return self._submit(_Request(text, int(seed), flow="t2t"))
 
+    def _reg(self, image, method: str = "bicubic") -> np.ndarray:
+        """Regularize an input image/mask to output_dim at enqueue time
+        (module docstring: group rows must share H,W)."""
+        from vdtpu.serving.api import regularize_image
+        return np.asarray(regularize_image(
+            np.asarray(image, np.float32), self.inf.output_dim, method))
+
     def submit_i2t(self, image, seed: int) -> Future:
-        """Image-to-text; `image` is [1,H,W,3] float in [0,1] (the
+        """Image-to-text; `image` is [1,H,W,3] float in [0,1], any H,W (the
         `inference_i2t` contract); Future resolves to one string."""
-        img = np.asarray(image, np.float32)
-        return self._submit(_Request("", int(seed), flow="i2t", image=img))
+        return self._submit(_Request("", int(seed), flow="i2t",
+                                     image=self._reg(image)))
 
     def submit_i2i(self, image, fid_lvl: float, fcs_lvl: float,
                    clr_adj: str | None, seed: int) -> Future:
-        """Image variation (inference_i2i contract); Future resolves to one
-        [H,W,3] image. fid_lvl=1 is an identity short-circuit (app.py:326)."""
-        img = np.asarray(image, np.float32)
+        """Image variation (inference_i2i contract, any input H,W); Future
+        resolves to one [H,W,3] image at output_dim. fid_lvl=1 short-circuits
+        to the REGULARIZED input (resize precedes the check, app.py:326-330)."""
+        img = self._reg(image)
         if float(fid_lvl) == 1.0:
             f = Future()
             f.set_result(img[0])
@@ -171,6 +186,10 @@ class BatchingQueue:
                      if c is not None and c.get("image") is not None)
         if not ctxs:
             raise ValueError("mcg needs at least one image context")
+        for c in ctxs:  # uniform H,W across the group (module docstring)
+            c["image"] = self._reg(c["image"])
+            if c.get("mask") is not None:
+                c["mask"] = self._reg(c["mask"], "bilinear")
         return self._submit(_Request(text or "", int(seed), flow="mcg",
                                      image_ctxs=ctxs,
                                      textstrength=float(textstrength)))

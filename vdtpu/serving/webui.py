@@ -70,8 +70,21 @@ def get_example(mode: str, assets_dir: str | None = None):
     return []
 
 
-def _to_batch(pil_image):
-    return np.asarray(pil_image, np.float32)[None] / 255.0
+def _to_batch(pil_image, size=None):
+    """PIL (or array) -> [1,H,W,3] float batch, bicubic-resized to
+    ``size`` = (H, W) when given — input regularization parity with the
+    reference, which resizes every upload to output_dim before ToTensor
+    (app.py:329-330). Array inputs resize through the API helper."""
+    if size is not None:
+        from PIL import Image
+        h, w = int(size[0]), int(size[1])
+        if isinstance(pil_image, Image.Image) and pil_image.size != (w, h):
+            pil_image = pil_image.resize((w, h), resample=Image.Resampling.BICUBIC)
+    arr = np.asarray(pil_image, np.float32)[None] / 255.0
+    if size is not None and arr.shape[1:3] != (int(size[0]), int(size[1])):
+        from vdtpu.serving.api import regularize_image
+        arr = np.asarray(regularize_image(arr, size))
+    return arr
 
 
 def _to_pil(batch):
@@ -97,10 +110,10 @@ def _mask_batch(mask_img):
     return m
 
 
-def _image_ctx(im, mask, strength, fcs, use_mask):
+def _image_ctx(im, mask, strength, fcs, use_mask, size=None):
     if im is None:
         return None
-    ctx = {"image": _to_batch(im), "strength": float(strength),
+    ctx = {"image": _to_batch(im, size), "strength": float(strength),
            "fcs_lvl": float(fcs)}
     if use_mask:
         mb = _mask_batch(mask)
@@ -110,28 +123,31 @@ def _image_ctx(im, mask, strength, fcs, use_mask):
 
 
 def make_handlers(vdi: VDInference):
-    """Tab callbacks (pure of gradio; unit-testable)."""
+    """Tab callbacks (pure of gradio; unit-testable). Uploaded images are
+    bicubic-resized to vdi.output_dim at ingestion (reference parity:
+    app.py:329-330); VDInference regularizes again idempotently."""
+    dim = vdi.output_dim
 
     def t2i(text, seed):
         return _to_pil(vdi.inference_t2i(text, int(seed)))
 
     def i2i(im, fid, fcs, clr, seed):
-        return _to_pil(vdi.inference_i2i(_to_batch(im), fid, fcs,
+        return _to_pil(vdi.inference_i2i(_to_batch(im, dim), fid, fcs,
                                          "Simple" if clr else None, int(seed)))
 
     def i2t(im, seed):
-        return "\n".join(vdi.inference_i2t(_to_batch(im), int(seed)))
+        return "\n".join(vdi.inference_i2t(_to_batch(im, dim), int(seed)))
 
     def t2t(text, seed):
         return "\n".join(vdi.inference_t2t(text, int(seed)))
 
     def dcg(im, fcs, text, strength, seed):
-        return _to_pil(vdi.inference_dcg(_to_batch(im), fcs, text, strength,
-                                         int(seed)))
+        return _to_pil(vdi.inference_dcg(_to_batch(im, dim), fcs, text,
+                                         strength, int(seed)))
 
     def tcg(im1, m1, s1, f1, u1, im2, m2, s2, f2, u2, text, tstrength, seed):
-        ctxs = [c for c in (_image_ctx(im1, m1, s1, f1, u1),
-                            _image_ctx(im2, m2, s2, f2, u2)) if c]
+        ctxs = [c for c in (_image_ctx(im1, m1, s1, f1, u1, dim),
+                            _image_ctx(im2, m2, s2, f2, u2, dim)) if c]
         _, out = vdi.inference_tcg(ctxs, text or None, float(tstrength),
                                    int(seed))
         return _to_pil(out)
@@ -139,7 +155,7 @@ def make_handlers(vdi: VDInference):
     def mcg(text, tstrength, seed, *rows):
         ctxs = []
         for i in range(0, len(rows), 5):
-            c = _image_ctx(*rows[i:i + 5])
+            c = _image_ctx(*rows[i:i + 5], size=dim)
             if c:
                 ctxs.append(c)
         _, out = vdi.inference_mcg(ctxs, text or None, float(tstrength),
