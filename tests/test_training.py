@@ -155,3 +155,92 @@ def test_remat_flags_reach_diffusers_through_system():
     assert s.model.diffuser.use_checkpoint is True
     assert s.model.diffuser.remat_max_channels == 64
     assert VDSystem("vd_test_tiny").model.diffuser.use_checkpoint is False
+
+
+def _tiny_batches(n=4):
+    rs = np.random.RandomState(7)
+    while True:
+        yield {"x": rs.randn(n, 8, 8, 4).astype(np.float32),
+               "ctx": rs.randn(n, 7, 16).astype(np.float32)}
+
+
+def test_freeze_groups_hold_params_and_carry_no_moments():
+    """get_optimizer(freeze=...) + Trainer(freeze_groups=...): the frozen
+    subtree's params never move, Adam holds NO mu/nu for it (the
+    single-chip full-size memory lever, optim.py), and set_lr skips the
+    stateless set_to_zero branch."""
+    from vdtpu.models.vd import VDModel
+    from vdtpu.training.harness import Trainer
+    from vdtpu.training.optim import get_optimizer
+    from vdtpu.training.schedulers import ConstantScheduler
+
+    model = VDModel.from_config(TINY_CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    freeze = ("diffuser_text_data", "diffuser_text_global")
+    tx, set_lr = get_optimizer("adamw", params=params, freeze=list(freeze))
+    trainer = Trainer(model, params, tx, set_lr,
+                      scheduler=ConstantScheduler(lr=1e-3),
+                      ema_decay=0.999, log_every=10,
+                      freeze_groups=freeze)
+    frozen_leaf = sorted(params["text"]["data_blocks.0.0"])[0]
+    w_frozen0 = np.asarray(params["text"]["data_blocks.0.0"][frozen_leaf])
+    w_train0 = np.asarray(params["image"]["data_blocks.0.0"]["kernel"])
+
+    state = trainer.run(_tiny_batches(), num_iters=2)
+
+    w_frozen1 = np.asarray(state.params["text"]["data_blocks.0.0"][frozen_leaf])
+    w_train1 = np.asarray(state.params["image"]["data_blocks.0.0"]["kernel"])
+    np.testing.assert_array_equal(w_frozen0, w_frozen1)
+    assert np.abs(w_train1 - w_train0).max() > 0
+
+    # set_to_zero holds NO optimizer state for the frozen group
+    frozen_state = state.opt_state.inner_states["frozen"]
+    assert not jax.tree_util.tree_leaves(frozen_state)
+    # ... while the default group carries full Adam moments
+    assert jax.tree_util.tree_leaves(state.opt_state.inner_states["default"])
+
+
+def test_optimizer_mu_dtype_bfloat16():
+    """optimizer_args.mu_dtype: Adam's mu rides bf16 (halves moment HBM)."""
+    from vdtpu.models.vd import VDModel
+    from vdtpu.training.optim import get_optimizer
+
+    model = VDModel.from_config(TINY_CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    kshape = params["image"]["data_blocks.0.0"]["kernel"].shape
+    tx, _ = get_optimizer("adamw", params=params, mu_dtype="bfloat16")
+    st = tx.init(params)
+    leaves = [l for l in jax.tree_util.tree_leaves(st)
+              if hasattr(l, "shape") and l.shape == kshape]
+    assert leaves, "no param-shaped moment leaves found"
+    assert any(l.dtype == jnp.bfloat16 for l in leaves), \
+        [l.dtype for l in leaves]
+
+
+def test_trainer_donate_matches_undonated():
+    """donate=True (buffer donation into the jitted step) must not change
+    the training trajectory — params and EMA match the undonated run
+    bit-for-bit after 3 steps. (On CPU donation is advisory; on TPU it
+    reuses the old state's HBM — the full-size memory lever.)"""
+    from vdtpu.models.vd import VDModel
+    from vdtpu.training.harness import Trainer
+    from vdtpu.training.optim import get_optimizer
+    from vdtpu.training.schedulers import ConstantScheduler
+
+    model = VDModel.from_config(TINY_CFG)
+
+    def run(donate):
+        params = model.init_params(jax.random.PRNGKey(0))
+        tx, set_lr = get_optimizer("adamw", params=params)
+        tr = Trainer(model, params, tx, set_lr,
+                     scheduler=ConstantScheduler(lr=1e-3),
+                     ema_decay=0.999, log_every=10, donate=donate)
+        return tr.run(_tiny_batches(), num_iters=3)
+
+    a, b = run(False), run(True)
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for ea, eb in zip(jax.tree_util.tree_leaves(a.ema),
+                      jax.tree_util.tree_leaves(b.ema)):
+        np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))

@@ -43,14 +43,35 @@ class TrainState:
 
 
 def make_loss_fn(model: VDModel, x_type: str, c_type: str,
-                 ctx_encode_fn: Callable | None = None):
+                 ctx_encode_fn: Callable | None = None,
+                 freeze_groups: tuple[str, ...] = ()):
     """Without ctx_encode_fn, batches carry pre-encoded context (frozen
     encoders, the reference's default). With it, the param tree is
     {"diffuser": ..., "ctx": ...}, the batch's ctx is RAW encoder input
     (token ids / pixels), and gradients flow into the context encoder — the
     ctx_encode_trainable path (ref vd.py:307-311, which drops the
-    @torch.no_grad of ctx_encode so encoders fine-tune with the diffuser)."""
+    @torch.no_grad of ctx_encode so encoders fine-tune with the diffuser).
+
+    ``freeze_groups`` (optim.parameter_group_of labels) stop-gradients the
+    named subtrees, so the backward pass neither computes nor materializes
+    their cotangents — pair with get_optimizer(freeze=...) which holds no
+    mu/nu for them. The single-chip memory lever for flow-scoped full-size
+    training (PERF.md train_bench; the off-flow tower rides frozen)."""
+    if freeze_groups:
+        from flax import traverse_util
+        from vdtpu.training.optim import parameter_group_of
+        fz = tuple(freeze_groups)
+
+        def apply_freeze(params):
+            return traverse_util.path_aware_map(
+                lambda p, v: jax.lax.stop_gradient(v)
+                if parameter_group_of(p) in fz else v, params)
+    else:
+        apply_freeze = None
+
     def loss_fn(params, x, ctx, t, noise):
+        if apply_freeze is not None:
+            params = apply_freeze(params)
         if ctx_encode_fn is not None:
             ctx = ctx_encode_fn(params["ctx"], ctx)
             params = params["diffuser"]
@@ -67,6 +88,7 @@ def make_train_step(
     ema_decay: float | None = None,
     grad_accum: int = 1,
     ctx_encode_fn: Callable | None = None,
+    freeze_groups: tuple[str, ...] = (),
 ):
     """One jitted update: draw t + noise, eps-loss, grad, optax update, EMA.
 
@@ -74,7 +96,8 @@ def make_train_step(
     sequentially (ref gradacc_every, utils.py:120-126) — gradients average
     before the single optimizer update.
     """
-    loss_fn = make_loss_fn(model, x_type, c_type, ctx_encode_fn)
+    loss_fn = make_loss_fn(model, x_type, c_type, ctx_encode_fn,
+                           freeze_groups)
     nT = model.schedule.num_timesteps
 
     def microbatch_grads(params, x, ctx, rng):
@@ -139,6 +162,8 @@ class Trainer:
         eval_every: int | None = None,
         ctx_encode_fn: Callable | None = None,
         async_ckpt: bool = False,
+        freeze_groups: tuple[str, ...] = (),
+        donate: bool = False,
     ):
         self.model = model
         self.tx = tx
@@ -156,7 +181,17 @@ class Trainer:
         self._loss_dev = None  # device scalar; float'd lazily (last_loss)
 
         raw_step = make_train_step(model, tx, x_type, c_type, ema_decay,
-                                   grad_accum, ctx_encode_fn)
+                                   grad_accum, ctx_encode_fn,
+                                   tuple(freeze_groups))
+        # donate=True donates params/opt_state/ema into the step: without
+        # donation the update holds the OLD and NEW copies of the full
+        # training state simultaneously (~2x for the moment tree), which
+        # OOMs full-size single-chip runs (PERF.md train_bench). Opt-in
+        # (train.donate in the launch yaml) because it invalidates the
+        # CALLER's references to the initial params/EMA after step 1 (run()
+        # itself rebinds self.state from the step outputs, and the async
+        # checkpointer snapshots device->host before the next step runs).
+        donate_kw = {"donate_argnums": (0, 1, 2)} if donate else {}
         if mesh is not None:
             # tp-aware layout: params live under param_shardings (output-feature
             # sharding over the tp axis, mesh.py:_param_spec); opt_state and
@@ -174,12 +209,17 @@ class Trainer:
             self._step = jax.jit(
                 raw_step,
                 in_shardings=(psh, None, None, bs, bs, rep, rep),
-                out_shardings=(psh, None, None, rep, rep))
+                out_shardings=(psh, None, None, rep, rep),
+                **donate_kw)
             self._psh = psh
         else:
             opt_state = tx.init(params)
-            ema = ema_init(params) if ema_decay is not None else None
-            self._step = jax.jit(raw_step)
+            # under donation the shadow needs its OWN buffers: eager
+            # ema_init aliases params (tree_map(asarray) is a no-op on
+            # device arrays) and double-donating one buffer is undefined
+            mk_ema = jax.jit(ema_init) if donate else ema_init
+            ema = mk_ema(params) if ema_decay is not None else None
+            self._step = jax.jit(raw_step, **donate_kw)
             self._psh = None
         self.state = TrainState(params, opt_state, ema, 0)
 

@@ -178,7 +178,10 @@ def main(argv=None):
                       dtype=jnp.bfloat16 if ecfg.get("bf16") else jnp.float32,
                       model_args=ecfg.get("model_args"),
                       use_checkpoint=bool(_t.get("use_checkpoint", False)),
-                      remat_max_channels=_t.get("remat_max_channels"))
+                      remat_max_channels=_t.get("remat_max_channels"),
+                      # image-flow training doesn't need the Optimus towers
+                      # resident (full-size single-chip memory budget)
+                      with_text_vae=bool(ecfg.get("with_text_vae", True)))
     system.init_random(args.seed or 0)
     if ecfg.get("pretrained"):
         import torch
@@ -223,7 +226,8 @@ def main(argv=None):
     params = shard_params(mesh, params)
     tx, set_lr = get_optimizer(
         tcfg.get("optimizer", "adamw"), params=params,
-        pg_lrscale=tcfg.get("pg_lrscale"), **tcfg.get("optimizer_args", {}))
+        pg_lrscale=tcfg.get("pg_lrscale"),
+        freeze=tcfg.get("freeze"), **tcfg.get("optimizer_args", {}))
     sched = get_scheduler(tcfg.get("scheduler"),
                           global_batch_size=tcfg.get("batch_size", 1),
                           gradacc_every=tcfg.get("gradacc_every", 1))
@@ -235,7 +239,9 @@ def main(argv=None):
         grad_accum=tcfg.get("gradacc_every", 1), mesh=mesh,
         log_every=tcfg.get("log_every", 100),
         ckpt_every=tcfg.get("ckpt_every"), ckpt_dir=exp.weight_dir,
-        async_ckpt=bool(tcfg.get("async_ckpt", False)))
+        async_ckpt=bool(tcfg.get("async_ckpt", False)),
+        freeze_groups=tuple(tcfg.get("freeze") or ()),
+        donate=bool(tcfg.get("donate", False)))
 
     if args.resume_dir:
         # restore params + opt_state + EMA + step and continue counting
