@@ -59,11 +59,17 @@ def main():
     ap.add_argument("--config", default="vd_four_flow_v1-0")
     ap.add_argument("--latent-downsample", type=int, default=8)
     ap.add_argument("--image-latent-dim", type=int, default=4)
-    ap.add_argument("--flows", default="t2i", choices=["t2i", "mixed"],
+    ap.add_argument("--text-latent-dim", type=int, default=768)
+    ap.add_argument("--flows", default="t2i", choices=["t2i", "mixed", "all"],
                     help="mixed: Poisson mix of t2i (60%%), i2i fid .5 "
                          "(20%%) and dcg (20%%) requests — every group "
                          "batches through its own bucket family "
-                         "(serving/queue.py groups)")
+                         "(serving/queue.py groups). all: every one of the "
+                         "SEVEN flows rides the mix (t2i 40%%, then 10%% "
+                         "each of i2i/dcg/t2t/i2t/tcg/mcg) — this is the "
+                         "only config that exercises the Optimus GPT-2 "
+                         "decode (t2t/i2t) under concurrent load "
+                         "(VERDICT r4 task 4)")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +82,11 @@ def main():
 
     dtype = jnp.bfloat16
     t0 = time.perf_counter()
-    sysm = VDSystem(args.config, dtype=dtype, with_text_vae=False)
+    # text flows (t2t/i2t) need the Optimus text VAE; its GPT-2 decode
+    # detokenizes to id-strings when no vocab files are configured (the
+    # latency shape — the scan — is what the load test measures)
+    sysm = VDSystem(args.config, dtype=dtype,
+                    with_text_vae=(args.flows == "all"))
 
     # fast param fill (bench.py methodology: eval_shape + per-leaf fill —
     # full flax init compiles for minutes through the tunnel; serving
@@ -98,20 +108,27 @@ def main():
         lambda k: sysm.ctx["text"].init(
             k, jnp.zeros((1, sysm.ctx["text"].max_len), jnp.int32))["params"],
         key), jax.random.fold_in(key, 2))
-    if args.flows == "mixed":  # i2i/dcg condition on CLIP-vision encodings
+    if args.flows in ("mixed", "all"):  # image-context flows (CLIP-vision)
         sz = sysm.ctx["image"].image_size
         sysm.params["ctx"]["image"] = fill(jax.eval_shape(
             lambda k: sysm.ctx["image"].init(
                 k, jnp.zeros((1, sz, sz, 3)))["params"],
             key), jax.random.fold_in(key, 3))
+    if args.flows == "all":  # Optimus towers (t2t/i2t latents + decode)
+        sysm.params["vae"]["text"] = fill(jax.eval_shape(
+            lambda k: sysm.vae["text"].init_params(k), key),
+            jax.random.fold_in(key, 4))
     jax.block_until_ready(sysm.params["diffuser"])
     log(f"params {time.perf_counter() - t0:.1f}s")
 
     if args.policy == "int8":
         t0 = time.perf_counter()
+        # all-flow runs calibrate every (x_type, c_type) combination the
+        # mix will sample (enable_int8's default four); t2i/mixed only
+        # exercise image-latent sites
+        kw = {} if args.flows == "all" else {"flows": (("image", "text"),)}
         sysm.enable_int8(image_size=args.size,
-                         latent_downsample=args.latent_downsample,
-                         flows=(("image", "text"),))
+                         latent_downsample=args.latent_downsample, **kw)
         log(f"int8 calibration {time.perf_counter() - t0:.1f}s")
 
     enc = sysm.ctx["text"]
@@ -120,7 +137,9 @@ def main():
                                                     enc.max_len),
                       output_dim=(args.size, args.size),
                       ddim_steps=args.steps, n_sample_image=1,
+                      n_sample_text=1,
                       image_latent_dim=args.image_latent_dim,
+                      text_latent_dim=args.text_latent_dim,
                       latent_downsample=args.latent_downsample)
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
@@ -128,17 +147,45 @@ def main():
     imgs = [np.random.RandomState(7 + i).rand(1, h, w, 3).astype(np.float32)
             for i in range(4)]
 
+    def _tcg_ctxs(i):
+        return [{"image": imgs[i % len(imgs)], "strength": 1.0,
+                 "fcs_lvl": 0.5},
+                {"image": imgs[(i + 1) % len(imgs)], "strength": 0.7,
+                 "fcs_lvl": 0.5}]
+
+    def _mcg_ctxs(i):
+        return [{"image": imgs[(i + j) % len(imgs)], "strength": 1.0,
+                 "fcs_lvl": 0.5} for j in range(3)]
+
     def submit_one(q, i: int):
         """Submit request i under the configured flow mix; returns
         (flow_label, future). The mixed split is deterministic in i so
         every rate sweeps the same workload."""
+        p = prompts[i % len(prompts)]
+        if args.flows == "all":
+            r = i % 10
+            if r < 4:                                   # 40%
+                return "t2i", q.submit(p, i)
+            if r == 4:
+                return "i2i", q.submit_i2i(imgs[i % len(imgs)], 0.5, 0.5,
+                                           None, seed=i)
+            if r == 5:
+                return "dcg", q.submit_dcg(imgs[i % len(imgs)], 0.5, p,
+                                           0.5, seed=i)
+            if r == 6:
+                return "t2t", q.submit_t2t(p, i)
+            if r == 7:
+                return "i2t", q.submit_i2t(imgs[i % len(imgs)], seed=i)
+            if r == 8:
+                return "tcg", q.submit_tcg(_tcg_ctxs(i), p, 0.5, seed=i)
+            return "mcg", q.submit_mcg(_mcg_ctxs(i), None, 0.0, seed=i)
         if args.flows == "t2i" or i % 5 < 3:          # 60%
-            return "t2i", q.submit(prompts[i % len(prompts)], i)
+            return "t2i", q.submit(p, i)
         if i % 5 == 3:                                 # 20%
             return "i2i", q.submit_i2i(imgs[i % len(imgs)], 0.5, 0.5,
                                        None, seed=i)
         return "dcg", q.submit_dcg(imgs[i % len(imgs)], 0.5,      # 20%
-                                   prompts[i % len(prompts)], 0.5, seed=i)
+                                   p, 0.5, seed=i)
 
     prompts = [f"a photo of scene number {i}" for i in range(512)]
 
@@ -147,10 +194,17 @@ def main():
     with BatchingQueue(inf, buckets=buckets, max_wait_ms=5.0) as q:
         for b in buckets:
             futs = [q.submit(f"warm {b} {i}", i) for i in range(b)]
-            if args.flows == "mixed":
+            if args.flows in ("mixed", "all"):
                 futs += [q.submit_i2i(imgs[0], 0.5, 0.5, None, seed=i)
                          for i in range(b)]
                 futs += [q.submit_dcg(imgs[0], 0.5, "warm", 0.5, seed=i)
+                         for i in range(b)]
+            if args.flows == "all":
+                futs += [q.submit_t2t(f"warm {b} {i}", i) for i in range(b)]
+                futs += [q.submit_i2t(imgs[0], seed=i) for i in range(b)]
+                futs += [q.submit_tcg(_tcg_ctxs(i), "warm", 0.5, seed=i)
+                         for i in range(b)]
+                futs += [q.submit_mcg(_mcg_ctxs(i), None, 0.0, seed=i)
                          for i in range(b)]
             for f in futs:
                 f.result(timeout=3600)
@@ -201,11 +255,12 @@ def main():
             "deadline_ms": args.deadline_ms, "steps": args.steps,
             "flows": args.flows,
         }
-        if args.flows == "mixed":
+        if args.flows in ("mixed", "all"):
             for fl, ls in sorted(flow_lat.items()):
                 ls = sorted(ls)
                 row[f"{fl}_requests"] = len(ls)
                 row[f"{fl}_p50_s"] = round(ls[len(ls) // 2], 3)
+                row[f"{fl}_p95_s"] = round(ls[int(len(ls) * 0.95)], 3)
         print(json.dumps(row), flush=True)
 
 
