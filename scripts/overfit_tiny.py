@@ -37,6 +37,16 @@ def main():
     ap.add_argument("--pairs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--cfg-scales", default="1.0",
+                    help="comma list of CFG scales to sweep (PERF.md "
+                         "reports 1/2/4)")
+    ap.add_argument("--steps-list", default="",
+                    help="comma list of DDIM step counts to sweep "
+                         "(default: just --ddim-steps; PERF.md reports "
+                         "50,200)")
+    ap.add_argument("--no-rolled-control", dest="rolled_control",
+                    action="store_false", default=True,
+                    help="skip the caption-permutation causation control")
     ap.add_argument("--workdir", default="/tmp/overfit_tiny")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -124,24 +134,69 @@ def main():
     x0 = system.vae_encode(batch["image"], "image")       # training latents
     ctx = system.ctx_encode(tokenizer(list(batch["caption"])), "text")
 
-    # conditional DDIM from pure noise (scale 1: the uncond direction was
-    # never trained, so CFG would steer off the memorized manifold)
-    x = system.sampler.sample(
-        system.params["diffuser"], jax.random.PRNGKey(123), args.ddim_steps,
-        x0.shape, {"type": "image"},
-        {"type": "text", "conditioning": ctx,
-         "unconditional_conditioning": jnp.zeros_like(ctx),
-         "unconditional_guidance_scale": 1.0},
-        dtype=system.dtype)
-
-    a = np.asarray(x, np.float32).reshape(args.pairs, -1)
     b = np.asarray(x0, np.float32).reshape(args.pairs, -1)
-    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
-                             * np.linalg.norm(b, axis=-1) + 1e-9)
+    bn = b / (np.linalg.norm(b, axis=-1, keepdims=True) + 1e-9)
+
+    def sample_matrix(ctx_in, scale, steps):
+        """DDIM from pure noise -> full sample-by-training-latent cosine
+        MATRIX [pairs, pairs]: row i = cosines of sample i against EVERY
+        training latent. identification = argmax(row) (the 8/8 claim)."""
+        x = system.sampler.sample(
+            system.params["diffuser"], jax.random.PRNGKey(123), steps,
+            x0.shape, {"type": "image"},
+            {"type": "text", "conditioning": ctx_in,
+             "unconditional_conditioning": jnp.zeros_like(ctx_in),
+             "unconditional_guidance_scale": scale},
+            dtype=system.dtype)
+        a = np.asarray(x, np.float32).reshape(args.pairs, -1)
+        an = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-9)
+        return x, an @ bn.T
+
+    # base config (scale 1: the uncond direction was never trained, so
+    # CFG > 1 steers off the memorized manifold — quantified by the sweep)
+    x, M = sample_matrix(ctx, 1.0, args.ddim_steps)
+    cos = np.diag(M)
+    identified = int((M.argmax(axis=1) == np.arange(args.pairs)).sum())
+    # margin: diagonal minus the best off-diagonal competitor, per row
+    off = M - np.eye(args.pairs) * 1e9
+    margin = float((cos - off.max(axis=1)).min())
     dec = np.asarray(system.vae_decode(jnp.asarray(x), "image"), np.float32)
     ref = np.asarray(system.vae_decode(jnp.asarray(x0), "image"), np.float32)
     mse = ((dec - ref) ** 2).mean()
     psnr = float(10 * np.log10(1.0 / max(mse, 1e-12)))
+
+    # CFG-scale x step-count sweep (PERF.md "overfit proof": memorization
+    # must be robust across sampler operating points)
+    sweep = {}
+    scales = [float(s) for s in args.cfg_scales.split(",") if s]
+    steps_list = [int(s) for s in args.steps_list.split(",") if s] \
+        or [args.ddim_steps]
+    for sc in scales:
+        for st in steps_list:
+            if (sc, st) == (1.0, args.ddim_steps):
+                sweep[f"cfg{sc}_steps{st}"] = {
+                    "diag_cos_mean": round(float(cos.mean()), 4),
+                    "identified": identified}
+                continue
+            _, Ms = sample_matrix(ctx, sc, st)
+            sweep[f"cfg{sc}_steps{st}"] = {
+                "diag_cos_mean": round(float(np.diag(Ms).mean()), 4),
+                "identified": int((Ms.argmax(axis=1)
+                                   == np.arange(args.pairs)).sum())}
+            print(f"sweep cfg={sc} steps={st}: {sweep[f'cfg{sc}_steps{st}']}",
+                  file=sys.stderr, flush=True)
+
+    # caption-permutation causation control: roll the conditioning by one
+    # row — every sample must now identify its ROLLED caption's latent,
+    # proving the caption (not the noise key or position) drives recall
+    rolled_follow = None
+    if args.rolled_control:
+        ctx_r = jnp.roll(ctx, 1, axis=0)
+        _, Mr = sample_matrix(ctx_r, 1.0, args.ddim_steps)
+        rolled_follow = int((Mr.argmax(axis=1)
+                             == np.roll(np.arange(args.pairs), 1)).sum())
+        print(f"rolled-caption control: {rolled_follow}/{args.pairs} follow "
+              f"the caption", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "iters": args.iters, "pairs": args.pairs, "lr": args.lr,
@@ -149,6 +204,11 @@ def main():
         "loss_drop_x": round(drop, 1),
         "latent_cos_mean": round(float(cos.mean()), 4),
         "latent_cos_min": round(float(cos.min()), 4),
+        "identified_by_argmax": identified,
+        "identification_margin_min": round(margin, 4),
+        "cos_matrix": np.round(M, 3).tolist(),
+        "cfg_steps_sweep": sweep,
+        "rolled_caption_follow": rolled_follow,
         "decoded_psnr_db": round(psnr, 2),
         "train_s": round(train_s, 1),
     }), flush=True)
