@@ -428,13 +428,55 @@ def main():
             x_tm, np.asarray(decode(jnp.asarray(x_tm)), np.float32))
         log(f"tome{ratio} {time.perf_counter() - t0:.1f}s")
 
+    # ---- CLIP-sim column (VERDICT r4 task 1): the perceptual gate metric,
+    # computed with the production evaluator (training/evaluator.py
+    # ClipSimilarityEvaluator) on the config's own CLIP towers. Image
+    # embeddings ride the CLIP-vision CLS token, text embeddings the
+    # EOT-pooled text encoding of the SAME prompts that conditioned
+    # sampling. Decoded images are affinely mapped by the exact row's
+    # range (the same transform for every variant) so the evaluator sees
+    # [0,1]-scaled inputs; the gate quantity is the DELTA vs the int8 row.
+    from vdtpu.models.clip import preprocess_images
+    from vdtpu.training.evaluator import ClipSimilarityEvaluator
+    vis_cfg = dict(cfgm["args"]["ctx_cfg_list"])["image"]
+    vis = build(vis_cfg, dtype=dtype)
+    sz = vis.image_size
+    vp = jax.jit(vis.init)(jax.random.PRNGKey(3),
+                           jnp.zeros((1, sz, sz, 3)))["params"]
+    vp = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), vp)
+    # params ride as a jit ARGUMENT: closing over the ~300M-param tree
+    # bakes it into the HLO as literals, and the tunnel's remote-compile
+    # rejects the multi-hundred-MB request body (HTTP 413)
+    _vembed = jax.jit(lambda p, px: vis.apply({"params": p}, px)[:, 0])
+    vembed = lambda px: _vembed(vp, px)
+    eot = jnp.argmax(ids_c, axis=-1)
+    zt = jnp.take_along_axis(enc(cparams, ids_c).astype(jnp.float32),
+                             eot[:, None, None], 1)[:, 0]
+    lo, hi = float(img_ref.min()), float(img_ref.max())
+    ev = ClipSimilarityEvaluator(
+        lambda ims: vembed(preprocess_images(jnp.clip(
+            (jnp.asarray(ims, jnp.float32) - lo) / max(hi - lo, 1e-9),
+            0.0, 1.0), sz)),
+        lambda _texts: zt)
+    clip_sims = {}
+    for name, (_x, img_v) in ([("bf16_exact", (None, img_ref))]
+                              + list(variants.items())):
+        ev.clear()
+        ev.add_batch(img_v, None)
+        clip_sims[name] = round(ev.summarize()["clip_similarity"], 6)
+    log(f"clip_sim: {clip_sims}")
+
     def cos(a, b):
         a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
         return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
     out = {"steps": steps, "batch": n, "conditioning": "clip_random_ids",
            "weights": "surrogate_torch_init" if args.surrogate
-           else "random_fill"}
+           else "random_fill",
+           "clip_sim": clip_sims,
+           "clip_sim_delta_vs_int8": {
+               k: round(v - clip_sims["int8"], 6)
+               for k, v in clip_sims.items()}}
     # per-step trajectory divergence for int8 (the headline path)
     step_cos = [cos(traj_ref[s], traj_q[s]) for s in range(steps)]
     step_mse = [float(((traj_ref[s] - traj_q[s]) ** 2).mean()) for s in range(steps)]
@@ -454,9 +496,11 @@ def main():
         }
     print(json.dumps(out), flush=True)
     for name, m in out.items():
-        if isinstance(m, dict):
+        if isinstance(m, dict) and "final_latent_cos" in m:
             log(f"| {name} | {m['final_latent_cos']} | {m['final_latent_rel_err']} "
-                f"| {m['decoded_mae']} | {m['decoded_psnr_db']} |")
+                f"| {m['decoded_mae']} | {m['decoded_psnr_db']} "
+                f"| {clip_sims.get(name, '')} "
+                f"| {round(clip_sims.get(name, 0) - clip_sims['int8'], 6)} |")
 
 
 if __name__ == "__main__":
