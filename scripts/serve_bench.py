@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--deadline-ms", type=float, default=1000.0)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--policy", default="int8", choices=["int8", "none"])
+    ap.add_argument("--tome", type=float, default=0.0,
+                    help="compose token merging at this ratio on top of the "
+                         "policy (0.75 = the default serving policy)")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--config", default="vd_four_flow_v1-0")
     ap.add_argument("--latent-downsample", type=int, default=8)
@@ -130,6 +133,11 @@ def main():
         sysm.enable_int8(image_size=args.size,
                          latent_downsample=args.latent_downsample, **kw)
         log(f"int8 calibration {time.perf_counter() - t0:.1f}s")
+    if args.tome:
+        # the default serving policy composes ToMe on the int8 path
+        # (README "Serving policy gate"); calibration above ran full-res,
+        # whose scales stay valid upper bounds under merging
+        sysm.enable_tome(ratio=args.tome)
 
     enc = sysm.ctx["text"]
     inf = VDInference(sysm,
@@ -251,7 +259,9 @@ def main():
             "p50_s": round(lat_s[len(lat_s) // 2], 3),
             "p95_s": round(lat_s[int(len(lat_s) * 0.95)], 3),
             "max_s": round(lat_s[-1], 3),
-            "policy": args.policy, "buckets": list(buckets),
+            "policy": (f"{args.policy}+tome{args.tome}" if args.tome
+                       else args.policy),
+            "buckets": list(buckets),
             "deadline_ms": args.deadline_ms, "steps": args.steps,
             "flows": args.flows,
         }

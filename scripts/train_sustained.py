@@ -47,7 +47,7 @@ def parse_train_log(path):
     """[(step, lr, loss, cum_time_s)] from Trainer's log lines."""
     rows = []
     pat = re.compile(r"Iter (\d+) \| LR ([0-9.e+-]+) \| .*?"
-                     r"loss ([0-9.e+-]+|nan).*\| Time ([0-9.]+)s")
+                     r"Loss:([0-9.e+-]+|nan).*\| Time ([0-9.]+)s")
     for line in open(path):
         m = pat.search(line)
         if m:
