@@ -93,8 +93,12 @@ def main():
         "pretrained": None,
         "with_text_vae": False,
         "clip_vocab": vocab, "clip_merges": merges, "clip_max_length": 77,
+        # encode_chunk 4: the ingest VAE-encode peak at batch 16 512^2
+        # OOMs a 16 GB chip on top of the resident params+Adam state
+        # (measured this round); chunked ingest bounds it (launch.py)
         "data": {"shards": shard_dir, "batch_size": args.batch,
-                 "image_size": 512, "shuffle_buffer": 16},
+                 "image_size": 512, "shuffle_buffer": 16,
+                 "encode_chunk": 4},
         "train": {
             "x_type": "image", "c_type": "text",
             "num_iters": 100000,           # over-budget: the kill ends it

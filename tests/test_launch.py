@@ -112,3 +112,38 @@ def test_launch_train_resume_eval(launch_env, capsys):
     assert "loaded trained checkpoint 'last'" in out
     spath2 = os.path.join(run_dir, "eval_ema", "summary.yaml")
     assert os.path.exists(spath2)
+
+
+def test_encode_batches_chunked_equals_full():
+    """encode_chunk bounds the device-side ingest peak (the 512^2 VAE
+    encode OOMs a 16 GB chip at batch 16 alongside resident training
+    state) — chunked and full-batch encoding must produce identical
+    training batches, including a ragged final chunk."""
+    import numpy as np
+
+    from vdtpu.training.launch import encode_batches
+
+    class StubSystem:
+        def vae_encode(self, img, x_type):
+            assert x_type == "image"
+            return np.asarray(img) * 2.0
+
+        def ctx_encode(self, ids, c_type):
+            assert c_type == "text"
+            return np.asarray(ids, np.float32)[:, :, None] + 1.0
+
+    def tok(texts):
+        return np.array([[len(t), ord(t[-1])] for t in texts], np.int64)
+
+    rng = np.random.RandomState(0)
+    raw = [{"image": rng.rand(6, 4, 4, 3).astype(np.float32),
+            "caption": [f"cap {i}" for i in range(6)]} for _ in range(2)]
+
+    full = list(encode_batches(iter(raw), StubSystem(), tokenizer=tok))
+    for chunk in (4, 2, 1, 99):  # 4 exercises the ragged 6 = 4 + 2 split
+        chunked = list(encode_batches(iter(raw), StubSystem(),
+                                      tokenizer=tok, encode_chunk=chunk))
+        assert len(chunked) == len(full)
+        for a, b in zip(full, chunked):
+            np.testing.assert_array_equal(a["x"], b["x"])
+            np.testing.assert_array_equal(a["ctx"], b["ctx"])

@@ -33,18 +33,33 @@ def build_dataloader(dcfg: dict[str, Any]):
 
 
 def encode_batches(pipeline, system, x_type="image", c_type="text",
-                   tokenizer=None):
+                   tokenizer=None, encode_chunk=None):
     """Stream raw (image, caption) batches through the frozen VAE + context
     encoder into diffusion-space training batches (the VD step contract:
-    encode -> q_sample -> p_losses, vd.py:241-280)."""
+    encode -> q_sample -> p_losses, vd.py:241-280).
+
+    ``encode_chunk`` bounds the device-side ingest peak: the frozen VAE
+    encoder's 512^2 activations run ~0.3 GB/sample transient, which at the
+    single-chip training max (batch 16) collides with the resident
+    params+Adam state that the step itself fits only with headroom
+    (PERF.md train_bench table). Chunking slices the raw batch before
+    encoding and reassembles latents on host — the step executable still
+    sees the full batch."""
     for batch in pipeline:
-        x = system.vae_encode(batch["image"], x_type)
-        if c_type == "text":
-            ids = tokenizer(batch["caption"]) if tokenizer else None
-            ctx = system.ctx_encode(ids, "text")
-        else:
-            ctx = system.ctx_encode(batch["image"], "image")
-        yield {"x": np.asarray(x), "ctx": np.asarray(ctx)}
+        img = batch["image"]
+        n = len(img)
+        step = n if not encode_chunk else max(1, min(int(encode_chunk), n))
+        xs, cs = [], []
+        for i in range(0, n, step):
+            sl = slice(i, i + step)
+            xs.append(np.asarray(system.vae_encode(img[sl], x_type)))
+            if c_type == "text":
+                ids = tokenizer(batch["caption"][sl]) if tokenizer else None
+                cs.append(np.asarray(system.ctx_encode(ids, "text")))
+            else:
+                cs.append(np.asarray(system.ctx_encode(img[sl], "image")))
+        yield {"x": xs[0] if len(xs) == 1 else np.concatenate(xs),
+               "ctx": cs[0] if len(cs) == 1 else np.concatenate(cs)}
 
 
 def build_tokenizer(ecfg):
@@ -255,7 +270,8 @@ def main(argv=None):
 
     pipeline = build_dataloader(ecfg["data"])
     batches = encode_batches(pipeline, system, tcfg.get("x_type", "image"),
-                             tcfg.get("c_type", "text"), tokenizer)
+                             tcfg.get("c_type", "text"), tokenizer,
+                             encode_chunk=ecfg["data"].get("encode_chunk"))
     try:
         trainer.run(batches, num_iters=tcfg["num_iters"])
     finally:
