@@ -101,6 +101,9 @@ def main():
                  "encode_chunk": 4},
         "train": {
             "x_type": "image", "c_type": "text",
+            # bf16 master weights: f32 flax-init params (10.3 GB) + Adam
+            # state cannot share one 16 GB chip (train_bench methodology)
+            "params_dtype": "bfloat16",
             "num_iters": 100000,           # over-budget: the kill ends it
             "batch_size": args.batch, "gradacc_every": args.gradacc,
             "tp": 1,

@@ -229,6 +229,14 @@ def main(argv=None):
         return run_eval(ecfg, system, exp, args)
 
     tcfg = ecfg["train"]
+    if tcfg.get("params_dtype"):
+        # single-chip full-size budget: flax-init f32 master weights
+        # (10.3 GB for the four-flow diffuser) cannot share a 16 GB chip
+        # with Adam state — `params_dtype: bfloat16` trains on bf16 master
+        # weights, the measured train_bench configuration (PERF.md; the
+        # optimizer moments inherit the dtype via zeros_like)
+        system.cast_params(getattr(jnp, tcfg["params_dtype"]))
+        params = system.params["diffuser"]
     mesh = make_mesh(tp=tcfg.get("tp", 1))
     dp = mesh.shape["dp"]
     bsz = ecfg["data"]["batch_size"]
