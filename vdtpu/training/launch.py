@@ -247,6 +247,12 @@ def main(argv=None):
             f"data.batch_size={bsz} must be divisible by dp={dp} x "
             f"gradacc_every={tcfg.get('gradacc_every', 1)}")
     params = shard_params(mesh, params)
+    # rebind the system's diffuser tree to the mesh-laid-out copy:
+    # shard_params device_puts fresh arrays, and keeping the pre-layout
+    # originals alive through `system` (encode_batches needs its VAE/CLIP,
+    # not the diffuser) pins a second ~4.8 GiB full-size tree — enough to
+    # OOM the 16 GB chip before the first ingest encode (measured r5)
+    system.params["diffuser"] = params
     tx, set_lr = get_optimizer(
         tcfg.get("optimizer", "adamw"), params=params,
         pg_lrscale=tcfg.get("pg_lrscale"),
