@@ -32,6 +32,32 @@ def build_dataloader(dcfg: dict[str, Any]):
         shuffle_buffer=dcfg.get("shuffle_buffer", 1000))
 
 
+def _realize_with_retry(fn, *args, attempts: int = 4):
+    """np.asarray(fn(*args)) with a bounded ResourceExhausted retry.
+
+    Tunnel-backend quirk (measured round 5, scripts/train_sustained.py
+    post-mortem): with ~10 GiB resident the FIRST heavy dispatch after the
+    init burst (param fill + cast + opt-state init) can spuriously report
+    RESOURCE_EXHAUSTED even though a 12 GiB probe allocation at the same
+    point succeeds and the identical call passes once a few trivial
+    dispatches settle the server-side state. Genuine OOMs still surface:
+    the retries re-raise after `attempts` failures."""
+    import time
+
+    import jax.numpy as jnp
+    for k in range(attempts):
+        try:
+            return np.asarray(fn(*args))
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or k == attempts - 1:
+                raise
+            from vdtpu.utils.logging import print_log
+            print_log(f"ingest encode hit ResourceExhausted "
+                      f"(attempt {k + 1}/{attempts}); settling and retrying")
+            jnp.zeros((256, 256), jnp.bfloat16).block_until_ready()
+            time.sleep(2.0 * (k + 1))
+
+
 def encode_batches(pipeline, system, x_type="image", c_type="text",
                    tokenizer=None, encode_chunk=None):
     """Stream raw (image, caption) batches through the frozen VAE + context
@@ -52,12 +78,13 @@ def encode_batches(pipeline, system, x_type="image", c_type="text",
         xs, cs = [], []
         for i in range(0, n, step):
             sl = slice(i, i + step)
-            xs.append(np.asarray(system.vae_encode(img[sl], x_type)))
+            xs.append(_realize_with_retry(system.vae_encode, img[sl], x_type))
             if c_type == "text":
                 ids = tokenizer(batch["caption"][sl]) if tokenizer else None
-                cs.append(np.asarray(system.ctx_encode(ids, "text")))
+                cs.append(_realize_with_retry(system.ctx_encode, ids, "text"))
             else:
-                cs.append(np.asarray(system.ctx_encode(img[sl], "image")))
+                cs.append(_realize_with_retry(
+                    system.ctx_encode, img[sl], "image"))
         yield {"x": xs[0] if len(xs) == 1 else np.concatenate(xs),
                "ctx": cs[0] if len(cs) == 1 else np.concatenate(cs)}
 
