@@ -98,7 +98,13 @@ def main():
         # (measured this round); chunked ingest bounds it (launch.py)
         "data": {"shards": shard_dir, "batch_size": args.batch,
                  "image_size": 512, "shuffle_buffer": 16,
-                 "encode_chunk": 4},
+                 "encode_chunk": 4,
+                 # latent-cache ingest (launch.cached_latent_batches): all
+                 # 192 samples (12 batches) encode BEFORE the optimizer
+                 # state exists, then the VAE/CLIP towers are freed — the
+                 # streaming path's encode-vs-resident-state collision
+                 # OOMed this run even chunked (PERF.md round 5)
+                 "cache_latents": 192 // args.batch},
         "train": {
             "x_type": "image", "c_type": "text",
             # bf16 master weights: f32 flax-init params (10.3 GB) + Adam

@@ -147,3 +147,73 @@ def test_encode_batches_chunked_equals_full():
         for a, b in zip(full, chunked):
             np.testing.assert_array_equal(a["x"], b["x"])
             np.testing.assert_array_equal(a["ctx"], b["ctx"])
+
+
+def test_cached_latent_batches_frees_towers_and_cycles():
+    """data.cache_latents (launch.cached_latent_batches): encodes exactly N
+    batches eagerly, frees the frozen VAE/CLIP tower params, then replays
+    the cache forever as per-epoch shuffles of the SAME batch set — the
+    single-chip full-size memory contract (PERF.md round 5)."""
+    import itertools
+
+    import numpy as np
+
+    from vdtpu.training.launch import cached_latent_batches
+
+    class StubSystem:
+        def __init__(self):
+            self.params = {"diffuser": {"w": np.ones(3)},
+                           "vae": {"image": {"w": np.ones(2)}},
+                           "ctx": {"text": {"w": np.ones(2)}}}
+            self.encodes = 0
+
+        def vae_encode(self, img, x_type):
+            self.encodes += 1
+            return np.asarray(img) * 2.0
+
+        def ctx_encode(self, ids, c_type):
+            return np.asarray(ids, np.float32)[:, :, None] + 1.0
+
+    def tok(texts):
+        return np.array([[len(t), ord(t[-1])] for t in texts], np.int64)
+
+    rng = np.random.RandomState(0)
+    raw = [{"image": rng.rand(2, 4, 4, 3).astype(np.float32),
+            "caption": [f"cap {b}{i}" for i in range(2)]}
+           for b in range(5)]
+    sys_ = StubSystem()
+    it = cached_latent_batches(itertools.cycle(raw), sys_, tokenizer=tok,
+                               num_batches=3, seed=0)
+    # encode ran eagerly, bounded at num_batches, and the towers are freed
+    assert sys_.encodes == 3
+    assert sys_.params["vae"]["image"] is None
+    assert sys_.params["ctx"]["text"] is None
+    assert sys_.params["diffuser"] is not None  # the trainable tree stays
+
+    def keyset(batches):
+        return sorted(b["x"].tobytes() for b in batches)
+
+    epoch1 = [next(it) for _ in range(3)]
+    epoch2 = [next(it) for _ in range(3)]
+    assert keyset(epoch1) == keyset(epoch2)  # same cache, reshuffled
+    assert sys_.encodes == 3                 # replay never re-encodes
+
+
+def test_launch_cache_latents_end_to_end(launch_env):
+    """launch.main with data.cache_latents trains through the cached-ingest
+    path (integration: cache built before the Trainer, run completes)."""
+    import yaml
+
+    from vdtpu.training.launch import main
+
+    with open(launch_env) as f:
+        cfg = yaml.safe_load(f)
+    cfg["name"] = "launch_cached"
+    cfg["data"]["cache_latents"] = 2
+    with open(launch_env, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["--config", str(launch_env)])
+    runs = glob.glob("log/launch_cached/*")
+    assert len(runs) == 1, runs
+    log_text = open(os.path.join(runs[0], "train.log")).read()
+    assert re.search(r"Iter 2 \|", log_text)

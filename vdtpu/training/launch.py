@@ -89,6 +89,44 @@ def encode_batches(pipeline, system, x_type="image", c_type="text",
                "ctx": cs[0] if len(cs) == 1 else np.concatenate(cs)}
 
 
+def cached_latent_batches(pipeline, system, x_type="image", c_type="text",
+                          tokenizer=None, encode_chunk=None,
+                          num_batches=None, seed=0, free_encoders=True):
+    """Latent-cache ingest (``data.cache_latents: N``): encode the first N
+    batches ONCE, drop the frozen VAE/CLIP towers from HBM, and train from
+    the host cache (batch-shuffled per epoch, forever).
+
+    Memory contract: the streaming path interleaves the frozen-tower
+    encodes with the resident training state (params + Adam moments +
+    donated step buffers) — at full size on one 16 GB chip that is exactly
+    the collision that OOMed the sustained run (PERF.md round 5, even with
+    ``encode_chunk`` and the bounded retry). Caching moves every encode
+    BEFORE the optimizer state exists and frees the towers afterwards, so
+    the training loop holds only the diffuser + moments. Standard practice
+    for frozen-encoder diffusion fine-tuning; the reference streams raw
+    pixels to 8x40 GB A100s and re-encodes every step (main.py ->
+    lib/model_zoo/vd.py forward), which a single chip cannot afford."""
+    import itertools
+    src = encode_batches(pipeline, system, x_type, c_type, tokenizer,
+                         encode_chunk)
+    cache = list(itertools.islice(src, num_batches))
+    if not cache:
+        raise SystemExit("data.cache_latents: the pipeline yielded no batches")
+    if free_encoders:
+        # drop the frozen towers' device buffers — training needs only the
+        # diffuser; a resume pass re-initializes and re-encodes its own cache
+        for group in ("vae", "ctx"):
+            for slot in list(system.params.get(group) or {}):
+                system.params[group][slot] = None
+
+    def replay():
+        rng = np.random.default_rng(seed)
+        while True:
+            for i in rng.permutation(len(cache)):
+                yield cache[i]
+    return replay()
+
+
 def build_tokenizer(ecfg):
     """CLIP tokenizer from config paths; `clip_max_length` caps the token
     length (77 for the published towers, smaller for test miniatures)."""
@@ -273,6 +311,24 @@ def main(argv=None):
         raise SystemExit(
             f"data.batch_size={bsz} must be divisible by dp={dp} x "
             f"gradacc_every={tcfg.get('gradacc_every', 1)}")
+    tokenizer = build_tokenizer(ecfg)
+    pipeline = build_dataloader(ecfg["data"])
+    cache_n = ecfg["data"].get("cache_latents")
+    if cache_n:
+        # encode NOW — before shard_params/optimizer/Trainer allocate the
+        # training state — then train from the host cache with the frozen
+        # towers freed (docstring above)
+        batches = cached_latent_batches(
+            pipeline, system, tcfg.get("x_type", "image"),
+            tcfg.get("c_type", "text"), tokenizer,
+            encode_chunk=ecfg["data"].get("encode_chunk"),
+            num_batches=int(cache_n), seed=args.seed or 0)
+    else:
+        batches = encode_batches(
+            pipeline, system, tcfg.get("x_type", "image"),
+            tcfg.get("c_type", "text"), tokenizer,
+            encode_chunk=ecfg["data"].get("encode_chunk"))
+
     params = shard_params(mesh, params)
     # rebind the system's diffuser tree to the mesh-laid-out copy:
     # shard_params device_puts fresh arrays, and keeping the pre-layout
@@ -307,12 +363,6 @@ def main(argv=None):
         from vdtpu.utils.logging import print_log
         print_log(f"resumed from {exp.weight_dir} at step {state.step}")
 
-    tokenizer = build_tokenizer(ecfg)
-
-    pipeline = build_dataloader(ecfg["data"])
-    batches = encode_batches(pipeline, system, tcfg.get("x_type", "image"),
-                             tcfg.get("c_type", "text"), tokenizer,
-                             encode_chunk=ecfg["data"].get("encode_chunk"))
     try:
         trainer.run(batches, num_iters=tcfg["num_iters"])
     finally:
